@@ -59,7 +59,10 @@ def no_distortion(dtype=None) -> MikhailDistortion:
 
 def _radius_mm(cam: CameraIntrinsics, pix: jnp.ndarray) -> jnp.ndarray:
     d = (pix - cam.principal_point) * cam.pixel_size_mm
-    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+    # tiny bias keeps sqrt differentiable at the principal point (r=0), where
+    # autodiff of the distortion model would otherwise produce NaN that no
+    # amount of downstream masking can remove (0 * nan = nan)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + jnp.asarray(1e-24, d.dtype))
 
 
 def distort_pixel(cam: CameraIntrinsics, dist: MikhailDistortion, hu: jnp.ndarray,

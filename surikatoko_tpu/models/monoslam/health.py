@@ -1,0 +1,95 @@
+"""Filter-health mechanisms: the reference's self-healing toolbox (SURVEY §5.3).
+
+Reference mapping (davison-mono-slam.cpp):
+  normalize_quat_and_covar  <- NormalizeCameraOrientationQuaternionAndCovariances :1652
+  ensure_nonneg_variance    <- EnsureNonnegativeStateVariance :1739
+  substitute_negative_inv_rho <- :1713-1737
+  symmetrize                <- FixSymmetricMat :4308
+  check_state               <- CheckCameraAndSalientPointsCovs :514
+  bad-ellipsoid removal mask <- RemoveSalientPointsWithNonextractableUncertEllipsoid :542
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from surikatoko_tpu.geom import ellipse as ell_mod
+from surikatoko_tpu.models.monoslam.state import CAM_STATE_COMPS, MonoSlamState
+
+_N = CAM_STATE_COMPS
+
+
+def normalize_quat_and_covar(x: jnp.ndarray, P: jnp.ndarray
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Renormalize the camera quaternion and propagate the normalization
+    Jacobian into the covariance: P <- J P J^T where J is identity except the
+    4x4 d(q/|q|)/dq block."""
+    q = x[3:7]
+    norm_fn = lambda qq: qq / jnp.linalg.norm(qq)
+    Jq = jax.jacfwd(norm_fn)(q)                    # [4,4]
+    x_new = x.at[3:7].set(norm_fn(q))
+    # P <- J P J^T exploiting J = I + E (E nonzero only on the quat block)
+    P_new = P.at[3:7, :].set(Jq @ P[3:7, :])
+    P_new = P_new.at[:, 3:7].set(P_new[:, 3:7] @ Jq.T)
+    return x_new, 0.5 * (P_new + P_new.T)
+
+
+def ensure_nonneg_variance(P: jnp.ndarray) -> jnp.ndarray:
+    """Zero the rows/cols of any state variable with negative variance
+    (numerical defense; reference :1739-1756)."""
+    bad = jnp.diag(P) < 0
+    keep = jnp.logical_not(bad).astype(P.dtype)
+    return P * keep[:, None] * keep[None, :]
+
+
+def substitute_negative_inv_rho(x: jnp.ndarray, substitute: jnp.ndarray,
+                                capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Replace negative inverse depths with a small positive value; returns
+    (x', count substituted). Reference flag sal_pnt_negative_inv_rho_substitute
+    (davison-mono-slam.h:474)."""
+    lms = x[_N:].reshape(capacity, 6)
+    neg = lms[:, 5] < 0
+    lms = lms.at[:, 5].set(jnp.where(neg, substitute, lms[:, 5]))
+    return x.at[_N:].set(lms.reshape(-1)), jnp.sum(neg.astype(jnp.int32))
+
+
+def symmetrize(P: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (P + P.T)
+
+
+def landmark_pos_covariances(x: jnp.ndarray, P: jnp.ndarray, capacity: int,
+                             substitute_rho: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(pos [K,3], cov [K,3,3]) of each landmark's Euclidean position by
+    first-order propagation through the spherical->XYZ map (reference
+    GetSalientPoint3DPosWithUncertaintyNew :3889)."""
+    from surikatoko_tpu.models.monoslam import measure
+
+    lms = x[_N:].reshape(capacity, 6)
+
+    def one(slot_lm, slot_cov):
+        f = lambda lm: measure.landmark_world_pos(lm, substitute_rho)
+        pos = f(slot_lm)
+        J = jax.jacfwd(f)(slot_lm)
+        return pos, J @ slot_cov @ J.T
+
+    covs6 = jax.vmap(
+        lambda k: jax.lax.dynamic_slice(P, (_N + k * 6, _N + k * 6), (6, 6))
+    )(jnp.arange(capacity))
+    return jax.vmap(one)(lms, covs6)
+
+
+def bad_uncertainty_mask(x: jnp.ndarray, P: jnp.ndarray, capacity: int,
+                         substitute_rho: jnp.ndarray) -> jnp.ndarray:
+    """True for landmarks whose 3D uncertainty ellipsoid is non-extractable
+    (non-PSD / non-finite propagated covariance) — candidates for removal."""
+    _, covs = landmark_pos_covariances(x, P, capacity, substitute_rho)
+    ok = jax.vmap(ell_mod.is_ellipsoid_extractable)(covs)
+    return jnp.logical_not(ok)
+
+
+def check_state(state: MonoSlamState, atol: float = 1e-3) -> jnp.ndarray:
+    """Cheap invariant check (quat unity, nonneg diag): scalar bool."""
+    q_ok = jnp.abs(jnp.linalg.norm(state.x[3:7]) - 1.0) < atol
+    diag_ok = jnp.all(jnp.diag(state.P) >= -atol)
+    return jnp.logical_and(q_ok, diag_ok)

@@ -1,0 +1,245 @@
+"""EKF measurement updates: the four strategies of the reference engine, all
+masked/batched so they jit with a fixed landmark capacity.
+
+Reference mapping (davison-mono-slam.cpp):
+  1. stacked_update       <- ProcessFrame_StackedObservationsPerUpdateCore :977
+  2. one_obs_update       <- ProcessFrame_OneObservationPerUpdate :1153
+  3. one_component_update <- ProcessFrame_OneComponentOfOneObservationPerUpdate :1525
+  4. one_point_ransac_update <- ProcessFrame_OnePointRansacUpdateCore :1393
+
+The dense observation matrix H[2m, D] is never materialized: H is block-sparse
+(camera block + per-landmark diagonal), so every product is an einsum over the
+per-slot blocks Hcam [K,2,13] / Hlm [K,2,6]. Unobserved slots contribute zero
+rows; the innovation covariance stays invertible because R occupies their
+diagonal. Gains for those rows are exactly zero, so masking is free — no
+gather/scatter, no shape changes (this replaces the reference's building of
+compressed H for the observed subset).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from surikatoko_tpu.models.monoslam import measure
+from surikatoko_tpu.models.monoslam.state import CAM_STATE_COMPS, MonoSlamParams
+
+_N = CAM_STATE_COMPS
+
+
+class UpdateInfo(NamedTuple):
+    resid_before: jnp.ndarray   # [K,2] masked innovation before update
+    obs_count: jnp.ndarray      # number of observations used
+    low_innov_count: jnp.ndarray   # RANSAC stage-1 size (0 for other impls)
+    high_innov_count: jnp.ndarray  # RANSAC stage-2 size
+
+
+def _masked_jacobians(params: MonoSlamParams, x: jnp.ndarray, obs_mask: jnp.ndarray):
+    h, Hcam, Hlm = measure.measurement_jacobians(params, x)
+    m = obs_mask[:, None, None].astype(x.dtype)
+    return h, Hcam * m, Hlm * m
+
+
+def _hp(Hcam: jnp.ndarray, Hlm: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
+    """A = H P without materializing H: [K,2,D]."""
+    K = Hcam.shape[0]
+    P_cam = P[:_N, :]
+    P_lm = P[_N:, :].reshape(K, 6, P.shape[-1])
+    return jnp.einsum("kij,jd->kid", Hcam, P_cam) + jnp.einsum(
+        "kij,kjd->kid", Hlm, P_lm)
+
+
+def _innovation_cov(A: jnp.ndarray, Hcam: jnp.ndarray, Hlm: jnp.ndarray,
+                    r_var: jnp.ndarray) -> jnp.ndarray:
+    """S = H P H^T + R as [K,2,K,2] from A = H P."""
+    K = A.shape[0]
+    A_lm = A[:, :, _N:].reshape(K, 2, K, 6)
+    S = jnp.einsum("kid,ljd->kilj", A[:, :, :_N], Hcam)
+    S = S + jnp.einsum("kild,ljd->kilj", A_lm, Hlm)
+    eye = jnp.eye(2 * K, dtype=A.dtype).reshape(K, 2, K, 2)
+    return S + r_var * eye
+
+
+def stacked_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
+                   obs: jnp.ndarray, obs_mask: jnp.ndarray
+                   ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One stacked EKF update over all observed slots.
+
+    Returns (x', P', masked residual [K,2]). Hot path: three einsum chains
+    S = H P H^T + R, K = P H^T S^-1, P -= K S K^T (reference :1004-1114) —
+    here a Cholesky solve against the 2K-sized innovation system followed by a
+    rank-2K symmetric downdate of P.
+    """
+    Kcap = obs_mask.shape[0]
+    h, Hcam, Hlm = _masked_jacobians(params, x, obs_mask)
+    resid = (obs - h) * obs_mask[:, None].astype(x.dtype)
+
+    A = _hp(Hcam, Hlm, P)                          # [K,2,D]
+    S = _innovation_cov(A, Hcam, Hlm, params.measurm_noise_var.astype(x.dtype))
+    S2 = S.reshape(2 * Kcap, 2 * Kcap)
+    A2 = A.reshape(2 * Kcap, -1)
+    r2 = resid.reshape(2 * Kcap)
+
+    cho = cho_factor(S2, lower=True)
+    x_new = x + A2.T @ cho_solve(cho, r2)
+    P_new = P - A2.T @ cho_solve(cho, A2)
+    P_new = 0.5 * (P_new + P_new.T)
+    return x_new, P_new, resid
+
+
+def _slot_jacobian(params: MonoSlamParams, x: jnp.ndarray, slot: jnp.ndarray):
+    """(h [2], Hcam [2,13], Hlm [2,6]) for one (dynamically indexed) slot."""
+    cam13 = x[:_N]
+    lm = jax.lax.dynamic_slice(x, (_N + slot * 6,), (6,))
+    h_fn = lambda c, l: measure.project_landmark(params, c, l)
+    h = h_fn(cam13, lm)
+    Hcam, Hlm = jax.jacfwd(h_fn, argnums=(0, 1))(cam13, lm)
+    return h, Hcam, Hlm, lm
+
+
+def _rank2_gain(P: jnp.ndarray, slot: jnp.ndarray, Hcam: jnp.ndarray,
+                Hlm: jnp.ndarray, r_var: jnp.ndarray):
+    """P H_k^T [D,m] and S_k [m,m] for a single observation block k
+    (m = number of measurement rows: 2 for a pixel, 1 for one component)."""
+    D = P.shape[0]
+    m = Hcam.shape[0]
+    P_cam_cols = P[:, :_N]                                     # [D,13]
+    P_lm_cols = jax.lax.dynamic_slice(P, (0, _N + slot * 6), (D, 6))
+    PHt = P_cam_cols @ Hcam.T + P_lm_cols @ Hlm.T              # [D,m]
+    # S = H (P H^T) + R: take rows 0:13 and the slot rows of PHt
+    S = Hcam @ PHt[:_N, :] + Hlm @ jax.lax.dynamic_slice(PHt, (_N + slot * 6, 0), (6, m))
+    S = S + r_var * jnp.eye(m, dtype=P.dtype)
+    return PHt, S
+
+
+def one_obs_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
+                   obs: jnp.ndarray, obs_mask: jnp.ndarray
+                   ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sequential rank-2 updates, one observation at a time, recomputing the
+    Jacobian at the running state (reference :1153-1523). lax.scan over slots;
+    masked slots are no-ops."""
+    Kcap = obs_mask.shape[0]
+    r_var = params.measurm_noise_var.astype(x.dtype)
+    h0, _, _ = measure.measurement_jacobians(params, x)
+    resid0 = (obs - h0) * obs_mask[:, None].astype(x.dtype)
+
+    def body(carry, slot):
+        x_c, P_c = carry
+        h, Hcam, Hlm, _ = _slot_jacobian(params, x_c, slot)
+        PHt, S = _rank2_gain(P_c, slot, Hcam, Hlm, r_var)
+        Kg = PHt @ jnp.linalg.inv(S)                          # [D,2]
+        dx = Kg @ (obs[slot] - h)
+        dP = -Kg @ S @ Kg.T
+        use = obs_mask[slot].astype(x.dtype)
+        x_n = x_c + use * dx
+        P_n = P_c + use * dP
+        P_n = 0.5 * (P_n + P_n.T)
+        return (x_n, P_n), None
+
+    (x_new, P_new), _ = jax.lax.scan(body, (x, P), jnp.arange(Kcap))
+    return x_new, P_new, resid0
+
+
+def one_component_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
+                         obs: jnp.ndarray, obs_mask: jnp.ndarray
+                         ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sequential scalar (rank-1) updates: each pixel coordinate separately
+    (reference :1525-1649)."""
+    Kcap = obs_mask.shape[0]
+    r_var = params.measurm_noise_var.astype(x.dtype)
+    h0, _, _ = measure.measurement_jacobians(params, x)
+    resid0 = (obs - h0) * obs_mask[:, None].astype(x.dtype)
+
+    def body(carry, idx):
+        x_c, P_c = carry
+        slot = idx // 2
+        comp = idx % 2
+        h, Hcam, Hlm, _ = _slot_jacobian(params, x_c, slot)
+        Hcam1 = jax.lax.dynamic_slice(Hcam, (comp, 0), (1, _N))
+        Hlm1 = jax.lax.dynamic_slice(Hlm, (comp, 0), (1, 6))
+        PHt, S = _rank2_gain(P_c, slot, Hcam1, Hlm1, r_var)   # [D,1],[1,1]
+        Kg = PHt / S[0, 0]
+        innov = jax.lax.dynamic_slice(obs[slot] - h, (comp,), (1,))
+        use = obs_mask[slot].astype(x.dtype)
+        x_n = x_c + use * (Kg @ innov)
+        P_n = P_c - use * (S[0, 0] * (Kg @ Kg.T))
+        P_n = 0.5 * (P_n + P_n.T)
+        return (x_n, P_n), None
+
+    (x_new, P_new), _ = jax.lax.scan(body, (x, P), jnp.arange(2 * Kcap))
+    return x_new, P_new, resid0
+
+
+def one_point_ransac_update(
+    params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
+    obs: jnp.ndarray, obs_mask: jnp.ndarray,
+    *,
+    corner_max_divergence_pix: jnp.ndarray | None = None,
+    high_innov_chi_square_thresh: float = 9.21034,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Civera 1-Point RANSAC (SfM_EKF_Civera ch.5; reference :1271-1523).
+
+    Stage 1: every matched observation is a hypothesis — apply its rank-2
+    state-only update, project all landmarks through the hypothesis state, and
+    count matches within ``corner_max_divergence_pix``; the winner's support
+    set (low-innovation inliers, typically distant points) drives a stacked
+    update. Stage 2: surviving matches within the chi-square gate of the
+    *updated* prediction (high-innovation, typically close points) are rescued
+    with a second stacked update. Hypotheses run as one vmap, not a loop.
+
+    Returns (x', P', resid_before, low_count, high_count).
+    """
+    Kcap = obs_mask.shape[0]
+    dtype = x.dtype
+    r_var = params.measurm_noise_var.astype(dtype)
+    thr = (jnp.sqrt(params.measurm_noise_var)
+           if corner_max_divergence_pix is None
+           else jnp.asarray(corner_max_divergence_pix)).astype(dtype)
+
+    h0, Hcam0, Hlm0 = measure.measurement_jacobians(params, x)
+    resid0 = (obs - h0) * obs_mask[:, None].astype(dtype)
+
+    def hypothesis_support(slot):
+        _, Hcam, Hlm, _ = _slot_jacobian(params, x, slot)
+        PHt, S = _rank2_gain(P, slot, Hcam, Hlm, r_var)
+        Kg = PHt @ jnp.linalg.inv(S)
+        x_hyp = x + Kg @ (obs[slot] - h0[slot])
+        h_hyp = measure.project_all(params, x_hyp)
+        dist = jnp.linalg.norm(obs - h_hyp, axis=-1)
+        support = jnp.logical_and(obs_mask, dist < thr)
+        return support, jnp.sum(support.astype(jnp.int32))
+
+    supports, counts = jax.vmap(hypothesis_support)(jnp.arange(Kcap))
+    counts = jnp.where(obs_mask, counts, -1)      # only matched slots hypothesize
+    best = jnp.argmax(counts)
+    low_mask = jnp.logical_and(supports[best], obs_mask)
+    any_low = jnp.any(low_mask)
+
+    x1, P1, _ = stacked_update(params, x, P, obs, low_mask)
+    x1 = jnp.where(any_low, x1, x)
+    P1 = jnp.where(any_low, P1, P)
+
+    # Stage 2: chi-square gate on the updated state
+    h1, Hcam1, Hlm1 = measure.measurement_jacobians(params, x1)
+    m1 = obs_mask[:, None, None].astype(dtype)
+    A1 = _hp(Hcam1 * m1, Hlm1 * m1, P1)
+    # per-slot 2x2 innovation covariance: rows of A1 against own H blocks
+    A1_lm = A1[:, :, _N:].reshape(Kcap, 2, Kcap, 6)
+    own = jnp.einsum("kikd->kid", A1_lm)          # [K,2,6] slot-own columns
+    S1 = (jnp.einsum("kid,kjd->kij", A1[:, :, :_N], Hcam1 * m1)
+          + jnp.einsum("kid,kjd->kij", own, Hlm1 * m1)
+          + r_var * jnp.eye(2, dtype=dtype))
+    diff = obs - h1
+    chi2 = jnp.einsum("ki,kij,kj->k", diff, jnp.linalg.inv(S1), diff)
+    high_mask = jnp.logical_and(obs_mask, jnp.logical_not(low_mask))
+    high_mask = jnp.logical_and(high_mask, chi2 < high_innov_chi_square_thresh)
+    any_high = jnp.any(high_mask)
+
+    x2, P2, _ = stacked_update(params, x1, P1, obs, high_mask)
+    x2 = jnp.where(any_high, x2, x1)
+    P2 = jnp.where(any_high, P2, P1)
+
+    return x2, P2, resid0, jnp.sum(low_mask.astype(jnp.int32)), jnp.sum(high_mask.astype(jnp.int32))
