@@ -1,0 +1,124 @@
+"""Landmark-sharded EKF stacked update over a device mesh.
+
+The covariance P[D,D] (D = 13 + 6K) dominates memory and FLOPs at large K.
+Sharding: landmark row-blocks of P over the "lm" mesh axis; the 13 camera
+rows are replicated (tiny). Per step (SURVEY §7 "blocked EKF update"):
+
+  local   A_k = H_k P          (needs only local P rows + H of local slots)
+  gather  H blocks + A rows    (one all_gather of the gain precursor per step)
+  repl    S = A H^T + R, Cholesky of the (2K)x(2K) innovation system (small)
+  local   Delta P rows via the symmetric identity
+          Delta P[:, rows_d] = A^T (S^{-1} A[:, rows_d])  -> transpose to rows
+
+All cross-device traffic is the single all_gather of A [2K, D] plus the tiny
+H/resid gathers; the O(D^2 K) downdate runs fully distributed. Numerically
+identical to models/monoslam/update.stacked_update (tested in
+tests/test_parallel_ekf.py — the single-vs-sharded parity pattern that
+replaces the reference's Schur-vs-naive check).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from surikatoko_tpu.models.monoslam import measure
+from surikatoko_tpu.models.monoslam.state import CAM_STATE_COMPS, MonoSlamParams
+
+_N = CAM_STATE_COMPS
+
+
+def _local_update_kernel(params: MonoSlamParams, K: int,
+                         x, P_cam, P_lm, lms, obs, obs_mask):
+    """shard_map body. Shapes (per device, L = K / n_dev):
+    x [D] repl, P_cam [13,D] repl, P_lm [L,6,D] local rows, lms [L,6],
+    obs [L,2], obs_mask [L]."""
+    dtype = x.dtype
+    D = x.shape[0]
+    L = lms.shape[0]
+    cam13 = x[:_N]
+    r_var = params.measurm_noise_var.astype(dtype)
+
+    h_fn = lambda c, l: measure.project_landmark(params, c, l)
+    h_loc = jax.vmap(lambda lm: h_fn(cam13, lm))(lms)
+    jac = jax.jacfwd(h_fn, argnums=(0, 1))
+    Hcam_loc, Hlm_loc = jax.vmap(lambda lm: jac(cam13, lm))(lms)
+    m = obs_mask[:, None, None].astype(dtype)
+    Hcam_loc = Hcam_loc * m
+    Hlm_loc = Hlm_loc * m
+    resid_loc = (obs - h_loc) * obs_mask[:, None].astype(dtype)
+
+    # A rows for local observations: [L,2,D]
+    A_loc = (jnp.einsum("kij,jd->kid", Hcam_loc, P_cam)
+             + jnp.einsum("kij,kjd->kid", Hlm_loc, P_lm))
+
+    # gather the small pieces
+    Hcam_all = jax.lax.all_gather(Hcam_loc, "lm", tiled=True)   # [K,2,13]
+    Hlm_all = jax.lax.all_gather(Hlm_loc, "lm", tiled=True)     # [K,2,6]
+    A_all = jax.lax.all_gather(A_loc, "lm", tiled=True)         # [K,2,D]
+    r_all = jax.lax.all_gather(resid_loc, "lm", tiled=True)     # [K,2]
+
+    # innovation system (replicated; (2K)^2 is small next to D^2)
+    A_lm_cols = A_all[:, :, _N:].reshape(K, 2, K, 6)
+    S = (jnp.einsum("kid,ljd->kilj", A_all[:, :, :_N], Hcam_all)
+         + jnp.einsum("kild,ljd->kilj", A_lm_cols, Hlm_all))
+    S2 = S.reshape(2 * K, 2 * K) + r_var * jnp.eye(2 * K, dtype=dtype)
+    A2 = A_all.reshape(2 * K, D)
+    cho = cho_factor(S2, lower=True)
+
+    # state update (replicated)
+    x_new = x + A2.T @ cho_solve(cho, r_all.reshape(-1))
+
+    # covariance downdate, distributed over local rows
+    dev = jax.lax.axis_index("lm")
+    col0 = jnp.asarray(_N, jnp.int32) + dev.astype(jnp.int32) * (L * 6)
+    A2_owncols = jax.lax.dynamic_slice(
+        A2, (jnp.zeros((), jnp.int32), col0), (2 * K, L * 6))  # [2K, 6L]
+    W_own = cho_solve(cho, A2_owncols)                                 # [2K, 6L]
+    dP_cols = A2.T @ W_own                                             # [D, 6L]
+    P_lm_new = P_lm - dP_cols.T.reshape(L, 6, D)
+
+    # camera rows (replicated, tiny)
+    W_cam = cho_solve(cho, A2[:, :_N])
+    P_cam_new = P_cam - (A2.T @ W_cam).T
+
+    return x_new, P_cam_new, P_lm_new, resid_loc
+
+
+def make_sharded_stacked_update(params: MonoSlamParams, capacity: int, mesh: Mesh):
+    """Returns a jitted fn (x, P, obs, obs_mask) -> (x', P', resid) running the
+    stacked update landmark-sharded over ``mesh`` axis "lm".
+
+    P is accepted/returned as the full [D,D] array (sharding handled
+    internally via shard_map specs); capacity must divide the mesh size.
+    """
+    n_dev = mesh.devices.size
+    assert capacity % n_dev == 0, (capacity, n_dev)
+
+    kernel = functools.partial(_local_update_kernel, params, capacity)
+    smapped = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(), P(), P("lm"), P("lm"), P("lm"), P("lm")),
+        out_specs=(P(), P(), P("lm"), P("lm")),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def update(x, Pmat, obs, obs_mask):
+        D = x.shape[0]
+        P_cam = Pmat[:_N, :]
+        P_lm = Pmat[_N:, :].reshape(capacity, 6, D)
+        lms = x[_N:].reshape(capacity, 6)
+        x_new, P_cam_new, P_lm_new, resid = smapped(
+            x, P_cam, P_lm, lms, obs, obs_mask)
+        P_new = jnp.concatenate([P_cam_new, P_lm_new.reshape(-1, D)], axis=0)
+        P_new = 0.5 * (P_new + P_new.T)
+        return x_new, P_new, resid
+
+    return update
