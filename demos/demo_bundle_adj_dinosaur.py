@@ -1,0 +1,73 @@
+"""Oxford dinosaur bundle adjustment demo.
+
+TPU-native equivalent of reference demos/demo-bundle-adj-dinosaur.cpp: load
+36 P-matrices + point tracks (or the synthetic dino stand-in if the VGG files
+aren't present), decompose/triangulate, run Kanatani-style LM+Schur BA,
+report f0-scaled and per-point pixel error before/after.
+
+Usage:
+  python demos/demo_bundle_adj_dinosaur.py [--testdata DIR] [--f0 600]
+      [--allowed_repr_err 4.56e-8] [--max_points N] [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--testdata", default=os.environ.get("SRK_TEST_DATA", "testdata"))
+    ap.add_argument("--f0", type=float, default=600.0)
+    ap.add_argument("--allowed_repr_err", type=float, default=4.56e-8,
+                    help="reproj-err relative-change stop (flagfile-demo-dino)")
+    ap.add_argument("--max_points", type=int, default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--x64", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from surikatoko_tpu.io import dino
+    from surikatoko_tpu.models.ba import (
+        BundleAdjustment, TermCriteria, reproj_error)
+    from surikatoko_tpu.models.ba.problem import reproj_error_pix_per_point
+
+    dino_file = os.path.join(args.testdata, "oxfvisgeom", "dinosaur",
+                             "dinoPs_as_mat108x4.txt")
+    if not args.synthetic and os.path.exists(dino_file):
+        print(f"loading dino data from {args.testdata}")
+        p = dino.load_dino_problem(args.testdata, args.f0, args.max_points)
+    else:
+        print("dino files not found -> synthetic dino stand-in "
+              "(see testdata/oxfvisgeom/README.md for the real data)")
+        p, _ = dino.synthetic_dino_problem(
+            n_points=args.max_points or 1024, f0=args.f0)
+
+    print(f"frames={p.n_frames} points={p.n_points}")
+    err0 = float(reproj_error(p))
+    print(f"initial reproj_err={err0:.6g} nodim "
+          f"({float(reproj_error_pix_per_point(p, err0)):.4f} pix/point)")
+
+    ba = BundleAdjustment()
+    t0 = time.time()
+    ok, p_opt = ba.compute_inplace(
+        p, TermCriteria(allowed_reproj_err_rel_change=args.allowed_repr_err))
+    dt = time.time() - t0
+    err1 = float(reproj_error(p_opt))
+    print(f"BA finished ok={ok} reason='{ba.stop_reason}' iters={ba.iterations} "
+          f"in {dt:.1f}s ({ba.iterations / max(dt, 1e-9):.2f} iters/s)")
+    print(f"final reproj_err={err1:.6g} nodim "
+          f"({float(reproj_error_pix_per_point(p_opt, err1)):.4f} pix/point)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -12,3 +12,4 @@ from surikatoko_tpu.geom import camera as camera
 from surikatoko_tpu.geom import rect as rect
 from surikatoko_tpu.geom import triangulate as triangulate
 from surikatoko_tpu.geom import ellipse as ellipse
+from surikatoko_tpu.geom import align as align

@@ -19,14 +19,20 @@ def skew(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues: rotation matrix for rotation vector w (angle = |w|)."""
+    """Rodrigues: rotation matrix for rotation vector w (angle = |w|).
+
+    Differentiable at w=0 (the usual linearization point): the sqrt is
+    sanitized *before* use so no NaN can leak through the unused jnp.where
+    branch under autodiff.
+    """
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
-    theta = jnp.sqrt(theta2)
+    small = theta2 < 1e-12
+    theta2_safe = jnp.where(small, 1.0, theta2)   # sanitized for BOTH primal
+    theta = jnp.sqrt(theta2_safe)                 # and cotangent paths
     K = skew(w)
     K2 = K @ K
-    small = theta2 < 1e-12
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + a * K + b * K2
 

@@ -1,0 +1,108 @@
+"""Levenberg-Marquardt driver with the reference's damping schedule.
+
+Reference ComputeOnNormalizedWorld (bundle-adj-kanatani.cpp:720-893):
+  hessian_factor starts at 1e-4; on a successful decrease it divides by 10
+  (toward Gauss-Newton), on failure multiplies by 10 (toward gradient
+  descent) and retries from the snapshot; stops on small |err change|
+  ("small relative err change"), damping overflow ("hessian overflow"), or
+  error converging to a limit ("err converged to limit value").
+
+The outer loop runs on host (a handful of iterations, each a jitted device
+program: derivative blocks + Schur solve + trial apply); rollback is a free
+pytree swap. `compute_inplace` mirrors the reference entry point:
+normalize -> optimize -> revert.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from surikatoko_tpu.models.ba import derivs, normalize, schur
+from surikatoko_tpu.models.ba.problem import BAProblem, reproj_error
+
+
+@dataclass
+class TermCriteria:
+    """Reference BundleAdjustmentKanataniTermCriteria (h:68-96)."""
+
+    allowed_reproj_err_rel_change: Optional[float] = None
+    max_hessian_factor: Optional[float] = 1e12
+    max_iters: int = 300
+
+
+@dataclass
+class BundleAdjustment:
+    unity_comp_ind: int = 1
+    t1y: float = 1.0
+    stop_reason: str = field(default="", init=False)
+    iterations: int = field(default=0, init=False)
+
+    def __post_init__(self):
+        self._compute_blocks = jax.jit(functools.partial(
+            derivs.compute_blocks, unity_comp_ind=self.unity_comp_ind))
+        self._solve = jax.jit(functools.partial(
+            schur.solve_corrections_schur, unity_comp_ind=self.unity_comp_ind))
+        self._apply = jax.jit(derivs.apply_corrections)
+        self._err = jax.jit(reproj_error)
+
+    def compute_inplace(self, p: BAProblem,
+                        term_crit: TermCriteria | None = None
+                        ) -> tuple[bool, BAProblem]:
+        """Full pipeline: normalize gauge, optimize, revert. Returns
+        (converged, optimized problem in the original gauge)."""
+        term_crit = term_crit or TermCriteria()
+        if not normalize.can_normalize(p, self.unity_comp_ind):
+            self.stop_reason = "cannot normalize (zero cam0-cam1 shift)"
+            return False, p
+        p_norm, ns = normalize.normalize_scene(p, self.t1y, self.unity_comp_ind)
+        ok, p_opt = self.compute_on_normalized_world(p_norm, term_crit)
+        return ok, normalize.revert_normalization(p_opt, ns)
+
+    def compute_on_normalized_world(self, p: BAProblem,
+                                    term_crit: TermCriteria
+                                    ) -> tuple[bool, BAProblem]:
+        hessian_factor = 1e-4
+        err_value = float(self._err(p))
+        err_thresh = term_crit.allowed_reproj_err_rel_change
+        self.iterations = 0
+
+        for _ in range(term_crit.max_iters):
+            blocks = self._compute_blocks(p)
+            # inner damping loop: find a factor that decreases the error
+            err_new_prev = None
+            while True:
+                dX, du, ok = self._solve(blocks, hessian_factor)
+                if not bool(ok):
+                    self.stop_reason = "hessian overflow"
+                    return False, p
+                p_try = self._apply(p, dX, du)
+                err_new = float(self._err(p_try))
+                if err_new < err_value:
+                    p = p_try
+                    break
+                if (err_new_prev is not None and err_thresh is not None
+                        and abs(err_new - err_new_prev) < err_thresh):
+                    self.stop_reason = "err converged to limit value"
+                    return False, p
+                hessian_factor *= 10.0
+                if (term_crit.max_hessian_factor is not None
+                        and hessian_factor > term_crit.max_hessian_factor):
+                    self.stop_reason = "hessian overflow"
+                    return False, p
+                err_new_prev = err_new
+
+            self.iterations += 1
+            err_change = err_new - err_value
+            if err_thresh is not None and abs(err_change) < err_thresh:
+                self.stop_reason = "small relative err change"
+                return True, p
+            err_value = err_new
+            hessian_factor /= 10.0
+
+        self.stop_reason = "max iterations"
+        return True, p

@@ -1,0 +1,100 @@
+"""Distributed Schur-complement BA solve: point blocks sharded over the mesh.
+
+The Schur reduction S = G - sum_i F_i^T E_i^-1 F_i is a sum over points —
+embarrassingly parallel over point shards. Each device reduces its shard's
+contribution (the reference's "perf hot spot", bundle-adj-kanatani.cpp:1888,
+becomes a local einsum + one psum of the [10F,10F] reduced system); the
+reduced camera solve is replicated (10F x 10F is tiny next to the reduction);
+point back-substitution is local to each shard.
+
+Numerically identical to models/ba/schur.solve_corrections_schur (tested in
+tests/test_parallel_schur.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from surikatoko_tpu.models.ba import derivs
+from surikatoko_tpu.models.ba.derivs import FRAME_VARS, GNBlocks, frame_var_mask
+from surikatoko_tpu.models.ba.schur import _damp, _fixed_var_identity
+
+
+def _schur_kernel(n_frames: int, unity_comp_ind: int,
+                  E, Fpf, gp, G, gf, hessian_factor):
+    """Per-device body. E [L,3,3], Fpf [L,F,3,10], gp [L,3] are the local
+    point shard; G [F,10,10], gf [F,10], hessian_factor replicated."""
+    F = n_frames
+    dtype = E.dtype
+    fmask = frame_var_mask(F, unity_comp_ind)
+
+    E_d = _damp(E, hessian_factor)
+    G_d = _fixed_var_identity(_damp(G, hessian_factor), fmask)
+
+    Einv = jnp.linalg.inv(E_d)
+    C = jnp.einsum("iab,ifbc->ifac", Einv, Fpf)
+    # local partial reduction, then one psum
+    S_part = -jnp.einsum("ifab,igac->fbgc", Fpf, C)
+    w = jnp.einsum("iab,ib->ia", Einv, gp)
+    rhs_part = jnp.einsum("ifab,ia->fb", Fpf, w)
+    S = jax.lax.psum(S_part, "lm")
+    rhs_red = jax.lax.psum(rhs_part, "lm")
+
+    S = S + jnp.einsum("fab,fg->fagb", G_d, jnp.eye(F, dtype=dtype))
+    S2 = S.reshape(F * FRAME_VARS, F * FRAME_VARS)
+    rhs = (-(gf - rhs_red)).reshape(F * FRAME_VARS)
+
+    du = jnp.linalg.solve(S2, rhs).reshape(F, FRAME_VARS)
+    # back-substitute local points
+    dX = -jnp.einsum("iab,ib->ia",
+                     Einv, gp + jnp.einsum("ifab,fb->ia", Fpf, du))
+    return dX, du
+
+
+def make_sharded_schur_solver(n_points: int, n_frames: int, mesh: Mesh,
+                              unity_comp_ind: int = 1):
+    """Returns jitted (blocks, hessian_factor) -> (dX, du, ok) with the point
+    dimension sharded over mesh axis "lm". n_points must divide the mesh."""
+    n_dev = mesh.devices.size
+    assert n_points % n_dev == 0, (n_points, n_dev)
+
+    kernel = functools.partial(_schur_kernel, n_frames, unity_comp_ind)
+    smapped = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("lm"), P("lm"), P("lm"), P(), P(), P()),
+        out_specs=(P("lm"), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def solve(blocks: GNBlocks, hessian_factor):
+        hf = jnp.asarray(hessian_factor, blocks.E.dtype)
+        dX, du = smapped(blocks.E, blocks.Fpf, blocks.gp, blocks.G, blocks.gf, hf)
+        ok = jnp.all(jnp.isfinite(du)) & jnp.all(jnp.isfinite(dX))
+        return dX, du, ok
+
+    return solve
+
+
+def make_sharded_ba_step(n_points: int, n_frames: int, mesh: Mesh,
+                         unity_comp_ind: int = 1):
+    """One full distributed Gauss-Newton/LM trial step: derivative blocks
+    (sharded over points via vmap sharding from the dense grid) + distributed
+    Schur solve + correction apply. Used by the multichip dry run and the
+    scaled MVF configuration."""
+    solver = make_sharded_schur_solver(n_points, n_frames, mesh, unity_comp_ind)
+
+    @jax.jit
+    def step(p, hessian_factor):
+        blocks = derivs.compute_blocks(p, unity_comp_ind=unity_comp_ind)
+        dX, du, ok = solver(blocks, hessian_factor)
+        p_new = derivs.apply_corrections(p, dX, du)
+        return p_new, ok
+
+    return step
