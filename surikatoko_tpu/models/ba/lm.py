@@ -39,14 +39,17 @@ class TermCriteria:
 class BundleAdjustment:
     unity_comp_ind: int = 1
     t1y: float = 1.0
+    optimize_intrinsics: bool = True
     stop_reason: str = field(default="", init=False)
     iterations: int = field(default=0, init=False)
 
     def __post_init__(self):
         self._compute_blocks = jax.jit(functools.partial(
-            derivs.compute_blocks, unity_comp_ind=self.unity_comp_ind))
+            derivs.compute_blocks, unity_comp_ind=self.unity_comp_ind,
+            optimize_intrinsics=self.optimize_intrinsics))
         self._solve = jax.jit(functools.partial(
-            schur.solve_corrections_schur, unity_comp_ind=self.unity_comp_ind))
+            schur.solve_corrections_schur, unity_comp_ind=self.unity_comp_ind,
+            optimize_intrinsics=self.optimize_intrinsics))
         self._apply = jax.jit(derivs.apply_corrections)
         self._err = jax.jit(reproj_error)
 
