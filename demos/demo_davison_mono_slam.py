@@ -1,0 +1,213 @@
+"""Davison MonoSlam demo driver.
+
+TPU-native equivalent of reference demos/davison-mono-slam/
+demo-davison-mono-slam.cpp: JSON scene/camera config + CLI flags, virtual
+world (GT-projecting matcher with fault injection) or real image directory
+(Shi-Tomasi + batched ellipse-gated NCC matcher), per-frame stats, and a
+tracker-internals JSON compatible with the reference's MATLAB analysis.
+
+Usage:
+  python demos/demo_davison_mono_slam.py --scene_config configs/scenario01.json
+      [--update_impl 1..4] [--frames N] [--capacity K]
+      [--image_dir DIR] [--out_internals davison_tracker_internals.json]
+      [--suppress_observations_from F0 --suppress_observations_to F1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_virtual_scene(cfg):
+    import numpy as np
+    import jax.numpy as jnp
+    from surikatoko_tpu.world import scene_gen
+
+    wb = scene_gen.WorldBounds(
+        *(cfg.get_seq("world_x_limits") + cfg.get_seq("world_y_limits")
+          + cfg.get_seq("world_z_limits")))
+    cell = tuple(cfg.get_seq("world_cell_size", float, [0.5, 0.5, 0.5]))
+    z_ascent = cfg.get_value("world_z_ascent", float, 0.0)
+    noise_std = cfg.get_value("world_noise_x3D_std", float, 0.0)
+    rng = np.random.default_rng(cfg.get_value("world_seed", int, 0))
+    points = scene_gen.generate_grid_points(
+        wb, cell, z_ascent, noise_std, rng)
+
+    scenario = cfg.get_value("virtual_scenario", str, "RectangularPath")
+    eye_off = np.asarray(cfg.get_seq("viewer_eye_offset", float, [3, -2, 7]))
+    center_off = np.asarray(cfg.get_seq("viewer_center_offset", float, [0, 0, 0]))
+    up = np.asarray(cfg.get_seq("viewer_up", float, [0, 0, 1]))
+    if scenario == "RectangularPath":
+        cfw = scene_gen.rectangular_path(
+            wb, cfg.get_value("viewer_steps_per_side_x", int, 10),
+            cfg.get_value("viewer_steps_per_side_y", int, 10),
+            eye_off, center_off, up)
+    elif scenario == "OscilateRightAndLeft":
+        wc = np.asarray([(wb.x_min + wb.x_max) / 2, (wb.y_min + wb.y_max) / 2,
+                         (wb.z_min + wb.z_max) / 2])
+        cfw = scene_gen.oscillate_right_and_left(
+            wc + eye_off, wc + center_off, up,
+            cfg.get_value("viewer_max_deviation", float, 0.6),
+            cfg.get_value("viewer_periods_count", int, 100),
+            cfg.get_value("viewer_shots_per_period", int, 160),
+            cfg.get_value("viewer_const_view_dir", bool, True))
+    elif scenario == "RotateLeftAndRight":
+        wc = np.asarray([(wb.x_min + wb.x_max) / 2, (wb.y_min + wb.y_max) / 2, 0.0])
+        cfw = scene_gen.rotate_left_and_right(
+            wc + eye_off, up,
+            cfg.get_value("viewer_min_ang", float, -0.5),
+            cfg.get_value("viewer_max_ang", float, 0.5),
+            cfg.get_value("viewer_periods_count", int, 10),
+            cfg.get_value("viewer_shots_per_period", int, 40))
+    else:
+        raise ValueError(f"unknown virtual_scenario {scenario!r}; use one of "
+                         "[RectangularPath, OscilateRightAndLeft, RotateLeftAndRight]")
+    return points, cfw
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene_config", default=None, help="JSON scene config")
+    ap.add_argument("--image_dir", default=None, help="real image sequence dir")
+    ap.add_argument("--update_impl", type=int, default=1, choices=(1, 2, 3, 4))
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--capacity", type=int, default=32)
+    ap.add_argument("--templ_width", type=int, default=17)
+    ap.add_argument("--templ_min_corr_coeff", type=float, default=0.65)
+    ap.add_argument("--out_internals", default="davison_tracker_internals.json")
+    ap.add_argument("--suppress_observations_from", type=int, default=None)
+    ap.add_argument("--suppress_observations_to", type=int, default=None)
+    ap.add_argument("--detection_noise_std", type=float, default=0.0)
+    ap.add_argument("--match_drop_prob", type=float, default=0.0)
+    ap.add_argument("--x64", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from surikatoko_tpu.geom import camera
+    from surikatoko_tpu.geom.se3 import SE3
+    from surikatoko_tpu.io.config_reader import ConfigReader
+    from surikatoko_tpu.io.tracker_log import TrackerInternalsLogger
+    from surikatoko_tpu.models.monoslam import MonoSlamFilter, make_params
+    from surikatoko_tpu.world.demo_matcher import DemoCornersMatcher
+    from surikatoko_tpu.world.runner import (
+        gt_poses_in_tracker_frame, init_tracker_state_from_gt)
+
+    cfg = ConfigReader(args.scene_config) if args.scene_config else ConfigReader(
+        data={"scene_source": "virtscene", "virtual_scenario": "OscilateRightAndLeft",
+              "world_x_limits": [0.0, 0.6], "world_y_limits": [0.0, 0.6],
+              "world_z_limits": [0.0, 0.6001], "world_z_ascent": 0.2,
+              "viewer_eye_offset": [0, -1.5, 0], "viewer_max_deviation": 0.6,
+              "viewer_periods_count": 2, "viewer_shots_per_period": 160})
+
+    img_size = cfg.get_seq("camera_image_size", int, [320, 240])
+    cam = camera.make_intrinsics(
+        tuple(img_size),
+        tuple(cfg.get_seq("camera_princip_point", float, [160.0, 120.0])),
+        cfg.get_value("camera_focal_length_mm", float, 1.95),
+        tuple(cfg.get_seq("camera_pixel_size_mm", float, [0.01, 0.01])))
+    dist = None
+    if cfg.get_value("camera_enable_distortion", bool, False):
+        k1k2 = cfg.get_seq("camera_distort_mikhail_k1k2", float, [0.0, 0.0])
+        dist = camera.MikhailDistortion(jnp.asarray(k1k2[0]), jnp.asarray(k1k2[1]))
+
+    params = make_params(
+        cam, dist,
+        dt=cfg.get_value("monoslam_dt", float, 1.0),
+        process_noise_lin_veloc_std=cfg.get_value(
+            "monoslam_process_noise_cam_lin_veloc_std_mm", float, 0.075),
+        process_noise_ang_veloc_std=cfg.get_value(
+            "monoslam_process_noise_cam_ang_veloc_std_rad", float, 0.01),
+        measurm_noise_std_pix=cfg.get_value(
+            "monoslam_measurm_noise_std_pix", float, 1.0),
+        sal_pnt_init_inv_dist=cfg.get_value(
+            "monoslam_sal_pnt_init_inv_dist", float, 0.1),
+        sal_pnt_init_inv_dist_std=cfg.get_value(
+            "monoslam_sal_pnt_init_inv_dist_std", float, 1.0),
+    )
+    tracker = MonoSlamFilter(params, capacity=args.capacity,
+                             update_impl=args.update_impl)
+    logger = TrackerInternalsLogger()
+
+    if args.image_dir:
+        from surikatoko_tpu.vision.matcher import ImageTemplCornersMatcher
+        from surikatoko_tpu.vision.picture import list_image_dir, load_picture
+
+        matcher = ImageTemplCornersMatcher(
+            tracker, templ_width=args.templ_width,
+            min_corr_coeff=args.templ_min_corr_coeff)
+        paths = list_image_dir(args.image_dir)[: args.frames]
+        state = tracker.init_state()
+        for f, path in enumerate(paths):
+            pic = load_picture(path)
+            logger.start_new_frame()
+            matcher.analyze_frame(pic.gray.astype(np.float32))
+            obs, obs_mask = matcher.match_salient_points(state, f)
+            new_pix, new_mask = matcher.recruit_new_salient_points(state, f, obs_mask)
+            state, stats = tracker.process_frame(state, obs, obs_mask,
+                                                 new_pix, new_mask)
+            matcher.on_landmarks_added(np.asarray(stats.new_slots),
+                                       np.asarray(new_pix), state)
+            matcher.sync_removed(state)
+            logger.record_from_stats(stats, state)
+            logger.finish_frame()
+            d = logger.slices[-1].frame_processing_dur
+            print(f"f={f} track={d*1e3:.1f}ms | {1.0/max(d,1e-9):.1f}fps "
+                  f"obs={int(stats.obs_count)} est={int(stats.estimated_count)}")
+    else:
+        points_w, gt_cfw_world = build_virtual_scene(cfg)
+        gt_cfw = gt_poses_in_tracker_frame(gt_cfw_world)
+        tfw = SE3(gt_cfw_world.R[0], gt_cfw_world.t[0])
+        pts = np.asarray(jnp.einsum("ij,nj->ni", tfw.R, jnp.asarray(points_w)) + tfw.t)
+        matcher = DemoCornersMatcher(
+            tracker, gt_cfw, pts, image_size=tuple(img_size),
+            detection_noise_std=args.detection_noise_std,
+            match_drop_prob=args.match_drop_prob)
+        n_frames = min(args.frames or 10**9, gt_cfw.t.shape[0])
+        state = init_tracker_state_from_gt(tracker, gt_cfw, dt=float(params.dt))
+        for f in range(n_frames):
+            if args.suppress_observations_from is not None:
+                lo = args.suppress_observations_from
+                hi = args.suppress_observations_to or 10**9
+                matcher.suppress_observations = lo <= f < hi
+            logger.start_new_frame()
+            obs, obs_mask = matcher.match_salient_points(state, f)
+            new_pix, new_mask, gt_rho, frag_ids = matcher.recruit_new_salient_points(
+                state, f, obs_mask)
+            state, stats = tracker.process_frame(state, obs, obs_mask,
+                                                 new_pix, new_mask, gt_rho)
+            matcher.on_landmarks_added(np.asarray(stats.new_slots), frag_ids, state)
+            matcher.sync_removed(state)
+            cfw_f = SE3(gt_cfw.R[f], gt_cfw.t[f])
+            wfc = cfw_f.inv()
+            from surikatoko_tpu.geom import quat as quat_mod
+            q_gt = np.asarray(quat_mod.from_rotmat(wfc.R))
+            gt13 = np.concatenate([np.asarray(wfc.t), q_gt, np.zeros(6)])
+            logger.record_from_stats(stats, state, cam_state_gt=gt13)
+            logger.finish_frame()
+            d = logger.slices[-1].frame_processing_dur
+            err = np.linalg.norm(np.asarray(stats.cam_state[:3]) - np.asarray(wfc.t))
+            print(f"f={f} track={d*1e3:.1f}ms | {1.0/max(d,1e-9):.1f}fps "
+                  f"obs={int(stats.obs_count)} est={int(stats.estimated_count)} "
+                  f"poserr={err:.4f}")
+
+    unused = cfg.unused_params()
+    if unused:
+        print(f"WARNING: unused config parameters: {unused}")
+    logger.write_json(args.out_internals)
+    print(f"avg frame dur={logger.avg_frame_processing_dur()*1e3:.1f}ms; "
+          f"internals -> {args.out_internals}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

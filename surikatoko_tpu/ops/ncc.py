@@ -1,0 +1,121 @@
+"""Batched ellipse-gated NCC search over all landmarks at once.
+
+The reference's per-frame perception hot loop (SURVEY §3.4): for each tracked
+landmark, scan a search window around the predicted projection, evaluating a
+TxT ZNCC at every candidate pixel (ImageTemplCornersMatcher::
+MatchSalientPointTemplCenterInRect, demo-davison-mono-slam.cpp:465-579 —
+center-out ring scans of scalar NCC calls). Here the whole thing is one
+batched program: gather [K, P, P] search patches with dynamic slices, three
+depthwise convolutions for the ZNCC surface, an ellipse-gate mask, and a
+masked argmax — no control flow, every landmark in flight at once.
+
+Contract (shared by the XLA path and the Pallas kernel):
+  search(image [H,W] f32, centers [K,2] (x,y) predicted template centers,
+         templates [K,T,T], active [K],
+         sigma_inv [K,2,2] + chi2  (ellipse gate; None = full window))
+  -> (best_center [K,2] f32, best_corr [K], matched [K])
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from surikatoko_tpu.vision import templ_match
+
+
+class NccSearchResult(NamedTuple):
+    best_center: jnp.ndarray   # [K,2] (x,y) of best template center
+    best_corr: jnp.ndarray     # [K]
+    matched: jnp.ndarray       # [K] bool (gate passed & corr above threshold)
+
+
+def _gather_patches(image: jnp.ndarray, top_left: jnp.ndarray, P: int) -> jnp.ndarray:
+    """[K,P,P] patches at integer top-left corners (clamped to the image)."""
+    H, W = image.shape
+
+    def one(tl):
+        y = jnp.clip(tl[1], 0, H - P)
+        x = jnp.clip(tl[0], 0, W - P)
+        return jax.lax.dynamic_slice(image, (y, x), (P, P))
+
+    return jax.vmap(one)(top_left)
+
+
+def ncc_search(
+    image: jnp.ndarray,
+    centers: jnp.ndarray,          # [K,2] float (x,y) predicted centers
+    templates: jnp.ndarray,        # [K,T,T]
+    active: jnp.ndarray,           # [K] bool
+    *,
+    search_radius: int,            # static: candidate offsets in [-R, R]^2
+    min_corr_coeff: float = 0.5,
+    sigma_inv: jnp.ndarray | None = None,   # [K,2,2] pixel-cov inverse
+    chi2_gate: float | None = None,
+    templ_stats: templ_match.TemplateStats | None = None,
+) -> NccSearchResult:
+    """Find each landmark's best template placement near its prediction."""
+    K, T, _ = templates.shape
+    R = search_radius
+    S = 2 * R + 1
+    P = S + T - 1
+    H, W = image.shape
+    dtype = image.dtype
+    half = (T - 1) // 2
+
+    centers_i = jnp.round(centers).astype(jnp.int32)
+    # top-left of the search patch so that offset (R, R) = predicted center
+    patch_tl = centers_i - (half + R)
+    tl_clamped_x = jnp.clip(patch_tl[:, 0], 0, W - P)
+    tl_clamped_y = jnp.clip(patch_tl[:, 1], 0, H - P)
+    tl = jnp.stack([tl_clamped_x, tl_clamped_y], axis=1)
+
+    patches = _gather_patches(image, tl, P)
+    surf = templ_match.corr_coeff_surface(patches, templates, templ_stats)  # [K,S,S]
+
+    # candidate template-center pixel for each offset
+    oy = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    ox = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    cand_x = tl[:, 0, None, None] + ox[None] + half     # [K,S,S]
+    cand_y = tl[:, 1, None, None] + oy[None] + half
+
+    gate = jnp.ones((K, S, S), bool)
+    if sigma_inv is not None and chi2_gate is not None:
+        dx = cand_x.astype(dtype) - centers[:, 0, None, None]
+        dy = cand_y.astype(dtype) - centers[:, 1, None, None]
+        md = (sigma_inv[:, None, None, 0, 0] * dx * dx
+              + 2.0 * sigma_inv[:, None, None, 0, 1] * dx * dy
+              + sigma_inv[:, None, None, 1, 1] * dy * dy)
+        gate = md <= chi2_gate
+        # always keep the predicted center itself searchable (min search rect,
+        # reference clamps the rect to at least 7x7: :623)
+        rr = jnp.maximum(jnp.abs(ox[None] - R), jnp.abs(oy[None] - R))
+        gate = jnp.logical_or(gate, rr <= 3)
+    # candidates whose template would cross the image border are invalid
+    inside = ((cand_x >= half) & (cand_x < W - half)
+              & (cand_y >= half) & (cand_y < H - half))
+    gate = jnp.logical_and(gate, inside)
+
+    surf_g = jnp.where(gate, surf, -jnp.inf)
+    flat = surf_g.reshape(K, S * S)
+    best = jnp.argmax(flat, axis=1)
+    best_corr = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    bx = jnp.take_along_axis(cand_x.reshape(K, S * S), best[:, None], axis=1)[:, 0]
+    by = jnp.take_along_axis(cand_y.reshape(K, S * S), best[:, None], axis=1)[:, 0]
+
+    matched = jnp.logical_and(active, best_corr >= min_corr_coeff)
+    matched = jnp.logical_and(matched, jnp.isfinite(best_corr))
+    best_center = jnp.stack([bx, by], axis=1).astype(dtype)
+    return NccSearchResult(best_center=best_center, best_corr=best_corr,
+                           matched=matched)
+
+
+def make_ncc_search(search_radius: int, min_corr_coeff: float = 0.5,
+                    chi2_gate: float | None = None):
+    """jit-ready closure over the static parameters."""
+    return jax.jit(functools.partial(
+        ncc_search, search_radius=search_radius,
+        min_corr_coeff=min_corr_coeff, chi2_gate=chi2_gate))

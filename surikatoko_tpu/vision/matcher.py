@@ -1,0 +1,141 @@
+"""Real-image perception backend: template tracking + corner recruitment.
+
+Equivalent of reference ``ImageTemplCornersMatcher``
+(demo-davison-mono-slam.cpp:428-884): per-landmark NCC template tracking
+gated by the predicted projected-uncertainty ellipse, recruitment of new
+Shi-Tomasi corners with spatial suppression, template-jump sanity check.
+
+Where the reference scans pixels one at a time per landmark (center-out
+spiral + leftover rects), this matcher runs ONE batched ellipse-gated NCC
+search for every landmark simultaneously (ops/ncc.py). Host-side state is
+only the template patch store (templates live with slots, like the
+reference's per-landmark cv::Mat templates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from surikatoko_tpu.geom import ellipse as ell_mod
+from surikatoko_tpu.ops import ncc as ncc_mod
+from surikatoko_tpu.vision import features, templ_match
+from surikatoko_tpu.models.monoslam.filter import MonoSlamFilter
+from surikatoko_tpu.models.monoslam.state import MonoSlamState
+
+
+class ImageTemplCornersMatcher:
+    def __init__(
+        self,
+        tracker: MonoSlamFilter,
+        *,
+        templ_width: int = 17,
+        search_radius: int = 12,
+        min_corr_coeff: float = 0.65,
+        min_templ_corr_for_jump_check: float = 0.0,
+        max_new_per_frame: int | None = None,
+        min_distance_new_to_tracked: float = 20.0,
+        detector_max_corners: int = 50,
+        ellipse_confidence: float = 0.95,
+        max_center_jump_pix: float | None = None,
+    ):
+        self.tracker = tracker
+        self.templ_width = templ_width
+        self.min_corr_coeff = min_corr_coeff
+        self.max_new = max_new_per_frame or tracker.max_new_per_frame
+        self.min_dist_new = min_distance_new_to_tracked
+        self.detector_max_corners = detector_max_corners
+        self.max_center_jump_pix = max_center_jump_pix
+        chi2 = float(ell_mod.chi_square_quantile_2dof(ellipse_confidence))
+        self._search = ncc_mod.make_ncc_search(
+            search_radius, min_corr_coeff, chi2_gate=chi2)
+        K = tracker.capacity
+        self.templates = np.zeros((K, templ_width, templ_width), np.float32)
+        self.templ_valid = np.zeros(K, bool)
+        self.last_center = np.zeros((K, 2), np.float32)
+        self.suppress_observations = False
+        self.executed_match_templ_calls = 0   # search-efficiency counter
+        self._image = None
+
+    # ---- CornersMatcherBase.AnalyzeFrame ----
+    def analyze_frame(self, image_gray: np.ndarray) -> None:
+        self._image = jnp.asarray(image_gray, jnp.float32)
+
+    # ---- CornersMatcherBase.MatchSalientPoints ----
+    def match_salient_points(self, state: MonoSlamState, frame_ind: int
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        K = self.tracker.capacity
+        if self.suppress_observations or self._image is None:
+            return jnp.zeros((K, 2)), jnp.zeros(K, bool)
+
+        centers, cov2 = self.tracker.predicted_pixel_uncertainty(state)
+        sigma_inv = jnp.linalg.inv(
+            cov2 + 1e-9 * jnp.eye(2, dtype=cov2.dtype))
+        active = jnp.asarray(self.templ_valid) & jnp.asarray(
+            np.asarray(state.lm_active))
+        res = self._search(
+            self._image,
+            jnp.asarray(centers, jnp.float32),
+            jnp.asarray(self.templates),
+            active,
+            sigma_inv=jnp.asarray(sigma_inv, jnp.float32),
+        )
+        self.executed_match_templ_calls += int(np.sum(np.asarray(active)))
+        matched = np.asarray(res.matched)
+        best = np.asarray(res.best_center)
+        # template-jump sanity check (reference :723-737): a match far from
+        # the previous template center is suspicious
+        if self.max_center_jump_pix is not None:
+            jump = np.linalg.norm(best - self.last_center, axis=1)
+            matched &= ~(self.templ_valid & (jump > self.max_center_jump_pix))
+        self.last_center[matched] = best[matched]
+        return jnp.asarray(np.where(matched[:, None], best, 0.0)), jnp.asarray(matched)
+
+    # ---- CornersMatcherBase.RecruitNewSalientPoints ----
+    def recruit_new_salient_points(self, state: MonoSlamState, frame_ind: int,
+                                   obs_mask) -> tuple[jnp.ndarray, jnp.ndarray]:
+        M = self.max_new
+        if self.suppress_observations or self._image is None:
+            return jnp.zeros((M, 2)), jnp.zeros(M, bool)
+        corners, valid = features.detect_corners(
+            self._image, max_corners=self.detector_max_corners,
+            border=self.templ_width)
+        # suppress candidates near currently tracked landmark projections
+        proj = self.tracker.predicted_pixels(state)
+        exist_valid = jnp.asarray(np.asarray(state.lm_active))
+        valid = features.filter_out_closest(
+            corners, valid, jnp.asarray(proj, corners.dtype), exist_valid,
+            self.min_dist_new)
+        # budget: free slots and per-frame cap
+        free = int(np.sum(~np.asarray(state.lm_active)))
+        budget = min(M, free)
+        cand = np.asarray(corners)[np.asarray(valid)][:budget]
+        new_pix = np.zeros((M, 2))
+        new_mask = np.zeros(M, bool)
+        new_pix[: len(cand)] = cand
+        new_mask[: len(cand)] = True
+        return jnp.asarray(new_pix), jnp.asarray(new_mask)
+
+    # ---- template store management ----
+    def on_landmarks_added(self, slots: np.ndarray, new_pix: np.ndarray,
+                           state: MonoSlamState) -> None:
+        """Cut and cache the template patch of each newly added landmark
+        (reference GetBlobTemplate)."""
+        img = np.asarray(self._image)
+        T = self.templ_width
+        half = (T - 1) // 2
+        H, W = img.shape
+        for s, pix in zip(np.asarray(slots), np.asarray(new_pix)):
+            if s < 0:
+                continue
+            x = int(round(float(pix[0])))
+            y = int(round(float(pix[1])))
+            x = min(max(x, half), W - half - 1)
+            y = min(max(y, half), H - half - 1)
+            self.templates[s] = img[y - half: y + half + 1,
+                                    x - half: x + half + 1]
+            self.templ_valid[s] = True
+            self.last_center[s] = (x, y)
+
+    def sync_removed(self, state: MonoSlamState) -> None:
+        self.templ_valid &= np.asarray(state.lm_active)

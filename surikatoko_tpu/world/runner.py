@@ -87,6 +87,29 @@ def run_scenario(
     return ScenarioResult(state, stats_list, err, pos_gt, pos_est)
 
 
+def run_image_sequence(
+    tracker: MonoSlamFilter,
+    matcher,                      # ImageTemplCornersMatcher-like
+    images,                       # iterable of [H,W] grayscale arrays
+    state: MonoSlamState | None = None,
+) -> tuple[MonoSlamState, list]:
+    """Frame loop for the real-image perception path (the reference's
+    imageseq scenario): analyze -> match -> recruit -> filter step."""
+    if state is None:
+        state = tracker.init_state()
+    stats_list = []
+    for f, img in enumerate(images):
+        matcher.analyze_frame(np.asarray(img))
+        obs, obs_mask = matcher.match_salient_points(state, f)
+        new_pix, new_mask = matcher.recruit_new_salient_points(state, f, obs_mask)
+        state, stats = tracker.process_frame(state, obs, obs_mask, new_pix, new_mask)
+        matcher.on_landmarks_added(np.asarray(stats.new_slots),
+                                   np.asarray(new_pix), state)
+        matcher.sync_removed(state)
+        stats_list.append(stats)
+    return state, stats_list
+
+
 def camera_orientation_error_deg(stats_cam_state: np.ndarray, cfw_gt: SE3) -> float:
     """Angle between estimated and GT camera orientation, degrees."""
     q_est = jnp.asarray(stats_cam_state[3:7])

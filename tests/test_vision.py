@@ -1,0 +1,117 @@
+"""Vision layer: ZNCC parity vs naive loops (port of the reference
+templ-match semantics), corner detector sanity, batched NCC search."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surikatoko_tpu.ops import ncc as ncc_mod
+from surikatoko_tpu.vision import features, templ_match
+
+
+def naive_zncc(patch, templ):
+    """Literal port of the reference formulas (templ-match.cpp:91)."""
+    t_mean = templ.mean()
+    f_mean = patch.mean()
+    t_d = templ - t_mean
+    f_d = patch - f_mean
+    denom = np.sqrt((f_d**2).sum()) * np.sqrt((t_d**2).sum())
+    if denom < 1e-12:
+        return 0.0
+    return float((f_d * t_d).sum() / denom)
+
+
+def test_corr_surface_matches_naive(rng):
+    T, S = 9, 7
+    P = S + T - 1
+    K = 4
+    patches = rng.uniform(0, 255, size=(K, P, P))
+    templs = rng.uniform(0, 255, size=(K, T, T))
+    surf = np.asarray(templ_match.corr_coeff_surface(
+        jnp.asarray(patches), jnp.asarray(templs)))
+    for k in range(K):
+        for dy in range(S):
+            for dx in range(S):
+                want = naive_zncc(patches[k, dy:dy + T, dx:dx + T], templs[k])
+                np.testing.assert_allclose(surf[k, dy, dx], want, atol=1e-9)
+
+
+def test_corr_identical_patch_is_one(rng):
+    T = 9
+    templ = rng.uniform(0, 255, size=(T, T))
+    c = templ_match.corr_coeff_single(jnp.asarray(templ), jnp.asarray(templ))
+    np.testing.assert_allclose(float(c), 1.0, atol=1e-9)
+
+
+def test_corr_flat_window_is_zero():
+    T = 9
+    flat = jnp.full((T, T), 100.0)
+    templ = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (T, T)))
+    assert float(templ_match.corr_coeff_single(flat, templ)) == 0.0
+
+
+def render_blobs(points_xy, size=(240, 320), sigma=1.5, seed=0):
+    """Tiny synthetic camera image: gaussian blobs on a noise background."""
+    H, W = size
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(20, 40, size=(H, W))
+    ys, xs = np.mgrid[0:H, 0:W]
+    for x, y in points_xy:
+        img += 180.0 * np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sigma**2))
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def test_ncc_search_finds_shifted_blobs(rng):
+    pts = np.array([[60.0, 50.0], [160.0, 120.0], [250.0, 200.0]])
+    img0 = render_blobs(pts)
+    shift = np.array([3.0, -2.0])
+    img1 = render_blobs(pts + shift)
+
+    T = 17
+    half = T // 2
+    templates = np.stack([
+        img0[int(y) - half:int(y) + half + 1, int(x) - half:int(x) + half + 1]
+        for x, y in pts])
+    search = ncc_mod.make_ncc_search(search_radius=8, min_corr_coeff=0.6)
+    res = search(jnp.asarray(img1), jnp.asarray(pts, jnp.float32),
+                 jnp.asarray(templates), jnp.ones(3, bool))
+    assert bool(jnp.all(res.matched))
+    np.testing.assert_allclose(np.asarray(res.best_center), pts + shift, atol=1.0)
+    assert np.all(np.asarray(res.best_corr) > 0.9)
+
+
+def test_ncc_search_ellipse_gate_blocks_far_match(rng):
+    """With a tight gate, a blob that moved outside the ellipse is rejected."""
+    pts = np.array([[160.0, 120.0]])
+    img0 = render_blobs(pts)
+    img1 = render_blobs(pts + np.array([10.0, 0.0]))
+    T = 17
+    half = T // 2
+    templ = img0[120 - half:120 + half + 1, 160 - half:160 + half + 1][None]
+    sigma_inv = jnp.asarray(np.eye(2)[None] * 1.0, jnp.float32)  # sigma=1 pix
+    search = ncc_mod.make_ncc_search(search_radius=12, min_corr_coeff=0.8,
+                                     chi2_gate=5.99)
+    res = search(jnp.asarray(img1), jnp.asarray(pts, jnp.float32),
+                 jnp.asarray(templ), jnp.ones(1, bool),
+                 sigma_inv=sigma_inv)
+    assert not bool(res.matched[0])  # true match at +10 px is outside the gate
+
+
+def test_detect_corners_on_blobs():
+    pts = np.array([[60.0, 50.0], [160.0, 120.0], [250.0, 200.0], [80.0, 180.0]])
+    img = render_blobs(pts, sigma=2.0)
+    xy, valid = features.detect_corners(jnp.asarray(img), max_corners=16,
+                                        nms_radius=8)
+    xy = np.asarray(xy)[np.asarray(valid)]
+    # every true blob has a detection within 3 px
+    for p in pts:
+        d = np.linalg.norm(xy - p, axis=1).min()
+        assert d < 3.0, (p, d)
+
+
+def test_filter_out_closest():
+    cand = jnp.asarray([[10.0, 10.0], [100.0, 100.0]])
+    exist = jnp.asarray([[12.0, 11.0]])
+    ok = features.filter_out_closest(cand, jnp.ones(2, bool), exist,
+                                     jnp.ones(1, bool), min_dist=5.0)
+    assert list(np.asarray(ok)) == [False, True]
