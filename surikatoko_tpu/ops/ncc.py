@@ -56,6 +56,7 @@ def ncc_search(
     sigma_inv: jnp.ndarray | None = None,   # [K,2,2] pixel-cov inverse
     chi2_gate: float | None = None,
     templ_stats: templ_match.TemplateStats | None = None,
+    use_pallas: bool = False,
 ) -> NccSearchResult:
     """Find each landmark's best template placement near its prediction."""
     K, T, _ = templates.shape
@@ -74,7 +75,6 @@ def ncc_search(
     tl = jnp.stack([tl_clamped_x, tl_clamped_y], axis=1)
 
     patches = _gather_patches(image, tl, P)
-    surf = templ_match.corr_coeff_surface(patches, templates, templ_stats)  # [K,S,S]
 
     # candidate template-center pixel for each offset
     oy = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
@@ -99,10 +99,18 @@ def ncc_search(
               & (cand_y >= half) & (cand_y < H - half))
     gate = jnp.logical_and(gate, inside)
 
-    surf_g = jnp.where(gate, surf, -jnp.inf)
-    flat = surf_g.reshape(K, S * S)
-    best = jnp.argmax(flat, axis=1)
-    best_corr = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    if use_pallas:
+        from surikatoko_tpu.ops.ncc_pallas import ncc_surface_argmax_pallas
+
+        best_corr, best = ncc_surface_argmax_pallas(
+            patches.astype(jnp.float32), templates.astype(jnp.float32), gate)
+        best_corr = best_corr.astype(dtype)
+    else:
+        surf = templ_match.corr_coeff_surface(patches, templates, templ_stats)
+        surf_g = jnp.where(gate, surf, -jnp.inf)
+        flat = surf_g.reshape(K, S * S)
+        best = jnp.argmax(flat, axis=1)
+        best_corr = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
     bx = jnp.take_along_axis(cand_x.reshape(K, S * S), best[:, None], axis=1)[:, 0]
     by = jnp.take_along_axis(cand_y.reshape(K, S * S), best[:, None], axis=1)[:, 0]
 
@@ -114,8 +122,9 @@ def ncc_search(
 
 
 def make_ncc_search(search_radius: int, min_corr_coeff: float = 0.5,
-                    chi2_gate: float | None = None):
+                    chi2_gate: float | None = None, use_pallas: bool = False):
     """jit-ready closure over the static parameters."""
     return jax.jit(functools.partial(
         ncc_search, search_radius=search_radius,
-        min_corr_coeff=min_corr_coeff, chi2_gate=chi2_gate))
+        min_corr_coeff=min_corr_coeff, chi2_gate=chi2_gate,
+        use_pallas=use_pallas))

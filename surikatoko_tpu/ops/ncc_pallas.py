@@ -1,0 +1,119 @@
+"""Fused Pallas TPU kernel for the batched ZNCC search.
+
+Layout: landmarks live in the *lane* dimension — patches are [P, P, K] so a
+block of 128 landmarks fills the VPU lanes exactly, and every shifted-window
+multiply-add processes 128 landmarks at once. The kernel accumulates the
+correlation surface, window sum and window sum-of-squares over the T^2
+template taps (outer fori over the untiled row offset i — dynamic indices
+are free there; inner *static* unroll over the sublane column offset j,
+which Mosaic requires), then normalizes and takes the gate-masked argmax.
+The [S, S, K] surface never round-trips to HBM, unlike the XLA conv path
+(ops/ncc.py) which materializes it between ops.
+
+Numerics match ops/ncc.py's conv formulation exactly (same cancellation:
+corr_prod = conv(f, t - mean(t))); parity is tested in interpret mode on CPU
+and on the real chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _ncc_block_kernel(T: int, S: int, n_pix: float,
+                      patches_ref, taps_ref, tssd_ref, gate_ref,
+                      best_corr_ref, best_idx_ref):
+    """patches_ref [1,P,P,LANES]; taps_ref [1,T,T,LANES] (template - mean);
+    tssd_ref [1,1,LANES]; gate_ref [1,S,S,LANES]; outputs [1,1,LANES]."""
+    dtype = patches_ref.dtype
+
+    def row_body(i, acc):
+        cp, ws, ws2 = acc
+        for j in range(T):                      # static: sublane offsets
+            sl = patches_ref[0, pl.ds(i, S), pl.ds(j, S), :]  # [S,S,LANES]
+            tval = taps_ref[0, i, j, :]                       # [LANES]
+            # every (i, j) template tap contributes to all three sums
+            cp = cp + tval[None, None, :] * sl
+            ws = ws + sl
+            ws2 = ws2 + sl * sl
+        return cp, ws, ws2
+
+    zero = jnp.zeros((S, S, LANES), dtype)
+    cp, ws, ws2 = jax.lax.fori_loop(0, T, row_body, (zero, zero, zero))
+
+    var_term = jnp.maximum(ws2 - ws * ws * (1.0 / n_pix), 0.0)
+    denom = jnp.sqrt(var_term) * tssd_ref[0, 0, :][None, None, :]
+    ok = denom > 1e-12
+    corr = jnp.where(ok, cp / jnp.where(ok, denom, 1.0), 0.0)
+    corr = jnp.where(gate_ref[0], corr, -jnp.inf)
+
+    flat = corr.reshape(S * S, LANES)
+    best_corr_ref[0, 0, :] = jnp.max(flat, axis=0)
+    best_idx_ref[0, 0, :] = jnp.argmax(flat, axis=0).astype(jnp.int32)
+
+
+def ncc_surface_argmax_pallas(
+    patches: jnp.ndarray,      # [K, P, P] f32
+    templates: jnp.ndarray,    # [K, T, T] f32
+    gate: jnp.ndarray,         # [K, S, S] bool
+    *,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(best_corr [K], best_flat_idx [K]) of the gated ZNCC surface."""
+    K, P, _ = patches.shape
+    T = templates.shape[-1]
+    S = P - T + 1
+    assert gate.shape == (K, S, S), (gate.shape, (K, S, S))
+    pad = (-K) % LANES
+    if pad:
+        patches = jnp.pad(patches, ((0, pad), (0, 0), (0, 0)))
+        templates = jnp.pad(templates, ((0, pad), (0, 0), (0, 0)),
+                            constant_values=1.0)
+        gate = jnp.pad(gate, ((0, pad), (0, 0), (0, 0)))
+    Kp = patches.shape[0]
+    G = Kp // LANES
+
+    tmean = jnp.mean(templates, axis=(-2, -1))
+    td = templates - tmean[:, None, None]
+    tssd = jnp.sqrt(jnp.sum(td * td, axis=(-2, -1)))
+
+    # lanes-last layouts
+    patches_l = jnp.moveaxis(patches.reshape(G, LANES, P, P), 1, -1)  # [G,P,P,L]
+    taps_l = jnp.moveaxis(td.reshape(G, LANES, T, T), 1, -1)          # [G,T,T,L]
+    gate_l = jnp.moveaxis(gate.reshape(G, LANES, S, S), 1, -1)        # [G,S,S,L]
+    tssd_l = tssd.reshape(G, 1, LANES)
+
+    kernel = functools.partial(_ncc_block_kernel, T, S, float(T * T))
+    best_corr, best_idx = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, P, P, LANES), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, T, LANES), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S, LANES), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, 1, LANES), patches.dtype),
+            jax.ShapeDtypeStruct((G, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(patches_l, taps_l, tssd_l, gate_l)
+    return (best_corr.reshape(Kp)[:K], best_idx.reshape(Kp)[:K])
