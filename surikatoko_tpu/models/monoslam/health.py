@@ -88,6 +88,26 @@ def bad_uncertainty_mask(x: jnp.ndarray, P: jnp.ndarray, capacity: int,
     return jnp.logical_not(ok)
 
 
+def reset_camera_to_gt(state: MonoSlamState, gt_cam13: jnp.ndarray,
+                       pos_std: float = 0.0, q_comp_std: float = 0.0,
+                       vel_std: float = 0.0, ang_vel_std: float = 0.0
+                       ) -> MonoSlamState:
+    """Manual recovery — the reference's 'u' hotkey
+    (SetEstimStateAndCovarToGroundTruth, davison-mono-slam.cpp:2117-2140):
+    snap the camera state to ground truth, zero the camera-landmark
+    cross-covariance, and reinitialize the camera covariance diagonal."""
+    x = state.x.at[:_N].set(gt_cam13.astype(state.x.dtype))
+    P = state.P
+    P = P.at[:_N, :].set(0.0)
+    P = P.at[:, :_N].set(0.0)
+    diag = jnp.concatenate([
+        jnp.full((3,), pos_std**2), jnp.full((4,), q_comp_std**2),
+        jnp.full((3,), vel_std**2), jnp.full((3,), ang_vel_std**2),
+    ]).astype(P.dtype)
+    P = P.at[jnp.arange(_N), jnp.arange(_N)].set(diag)
+    return state._replace(x=x, P=P)
+
+
 def check_state(state: MonoSlamState, atol: float = 1e-3) -> jnp.ndarray:
     """Cheap invariant check (quat unity, nonneg diag): scalar bool."""
     q_ok = jnp.abs(jnp.linalg.norm(state.x[3:7]) - 1.0) < atol
