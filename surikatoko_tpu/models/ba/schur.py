@@ -63,7 +63,11 @@ def solve_corrections_schur(blocks: GNBlocks, hessian_factor,
     rhs = -(blocks.gf - jnp.einsum("ifab,ia->fb", blocks.Fpf, w))
     rhs = rhs.reshape(F * FRAME_VARS)
 
-    du = jnp.linalg.solve(S, rhs).reshape(F, FRAME_VARS)
+    # Jacobi symmetric preconditioning (robustness for f32 reduced systems)
+    dgs = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(S)), 1e-12))
+    dinv = 1.0 / dgs
+    Sp = S * dinv[:, None] * dinv[None, :]
+    du = (dinv * jnp.linalg.solve(Sp, rhs * dinv)).reshape(F, FRAME_VARS)
     # back-substitute points: dX_i = -E_i^-1 (gp_i + sum_j F_ij du_j)
     dX = -jnp.einsum("iab,ib->ia",
                      Einv, blocks.gp + jnp.einsum("ifab,fb->ia", blocks.Fpf, du))

@@ -82,10 +82,19 @@ def landmark_pos_covariances(x: jnp.ndarray, P: jnp.ndarray, capacity: int,
 def bad_uncertainty_mask(x: jnp.ndarray, P: jnp.ndarray, capacity: int,
                          substitute_rho: jnp.ndarray) -> jnp.ndarray:
     """True for landmarks whose 3D uncertainty ellipsoid is non-extractable
-    (non-PSD / non-finite propagated covariance) — candidates for removal."""
+    (non-PSD / non-finite propagated covariance) — candidates for removal.
+
+    Positive-definiteness via Sylvester's criterion (three leading minors)
+    instead of eigendecomposition: closed-form and ~10x cheaper than the K
+    batched 3x3 eigh calls on TPU (hot: runs every frame)."""
     _, covs = landmark_pos_covariances(x, P, capacity, substitute_rho)
-    ok = jax.vmap(ell_mod.is_ellipsoid_extractable)(covs)
-    return jnp.logical_not(ok)
+    a, b, c = covs[:, 0, 0], covs[:, 0, 1], covs[:, 0, 2]
+    d, e, f = covs[:, 1, 1], covs[:, 1, 2], covs[:, 2, 2]
+    det2 = a * d - b * b
+    det3 = (a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c))
+    finite = jnp.all(jnp.isfinite(covs.reshape(capacity, -1)), axis=-1)
+    pd = (a > 0) & (det2 > 0) & (det3 > 0)
+    return jnp.logical_not(jnp.logical_and(finite, pd))
 
 
 def reset_camera_to_gt(state: MonoSlamState, gt_cam13: jnp.ndarray,
