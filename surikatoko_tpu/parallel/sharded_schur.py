@@ -82,6 +82,96 @@ def make_sharded_schur_solver(n_points: int, n_frames: int, mesh: Mesh,
     return solve
 
 
+def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
+                                     track_len: int, mesh: Mesh,
+                                     unity_comp_ind: int = 1,
+                                     optimize_intrinsics: bool = True,
+                                     point_chunk: int = 512):
+    """Distributed sparse Schur solve: point shards each scatter-add their
+    partial reduced system, one psum of [F,10,F,10] + rhs, replicated
+    preconditioned solve, local back-substitution. The at-scale (10k x 500)
+    configuration sharded over the mesh.
+
+    Takes (p_sparse: BAProblemSparse, blocks: SparseBlocks, hessian_factor)
+    with point-major arrays sharded on axis 'lm'.
+    """
+    import functools as _ft
+
+    from surikatoko_tpu.models.ba.derivs import frame_var_mask as _fvm
+    from surikatoko_tpu.models.ba import sparse as _sp
+
+    n_dev = mesh.devices.size
+    assert n_points % n_dev == 0
+    L = track_len
+    F = n_frames
+
+    def kernel(E, Fpf, gp, fidx, G, gf, hessian_factor):
+        dtype = E.dtype
+        fmask = _fvm(F, unity_comp_ind, optimize_intrinsics)
+        E_d = _damp(E, hessian_factor)
+        G_d = _fixed_var_identity(_damp(G, hessian_factor), fmask)
+        Einv = jnp.linalg.inv(E_d)
+        C = jnp.einsum("iab,ilbc->ilac", Einv, Fpf)
+        Nl = Fpf.shape[0]
+
+        pc = min(point_chunk, Nl)
+        pad = (-Nl) % pc
+        Fp = jnp.pad(Fpf, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else Fpf
+        Cp = jnp.pad(C, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else C
+        fp = jnp.pad(fidx, ((0, pad), (0, 0))) if pad else fidx
+
+        S0 = jnp.zeros((F, FRAME_VARS, F, FRAME_VARS), dtype)
+
+        def chunk_body(c, S):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * pc, pc)
+            Fc, Cc, fc = sl(Fp), sl(Cp), sl(fp)
+            contrib = jnp.einsum("ilab,imac->ilbmc", Fc, Cc)
+            fa = jnp.broadcast_to(fc[:, :, None], (pc, L, L)).reshape(-1)
+            fb = jnp.broadcast_to(fc[:, None, :], (pc, L, L)).reshape(-1)
+            vals = contrib.transpose(0, 1, 3, 2, 4).reshape(
+                -1, FRAME_VARS, FRAME_VARS)
+            return S.at[fa, :, fb, :].add(-vals)
+
+        S_part = jax.lax.fori_loop(0, Fp.shape[0] // pc, chunk_body, S0)
+        w = jnp.einsum("iab,ib->ia", Einv, gp)
+        red_part = jnp.zeros((F, FRAME_VARS), dtype)
+        red_part = red_part.at[fidx.reshape(-1)].add(
+            jnp.einsum("oab,oa->ob", Fpf.reshape(-1, 3, FRAME_VARS),
+                       jnp.broadcast_to(w[:, None, :], (Nl, L, 3)).reshape(-1, 3)))
+
+        S = jax.lax.psum(S_part, "lm")
+        red = jax.lax.psum(red_part, "lm")
+        S = S + jnp.einsum("fab,fg->fagb", G_d, jnp.eye(F, dtype=dtype))
+        S2 = S.reshape(F * FRAME_VARS, F * FRAME_VARS)
+        rhs = (-(gf - red)).reshape(F * FRAME_VARS)
+        d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(S2)), 1e-12))
+        dinv = 1.0 / d
+        S2p = S2 * dinv[:, None] * dinv[None, :]
+        du = (dinv * jnp.linalg.solve(S2p, rhs * dinv)).reshape(F, FRAME_VARS)
+        du_g = du[fidx]
+        dX = -jnp.einsum("iab,ib->ia", Einv,
+                         gp + jnp.einsum("ilab,ilb->ia", Fpf, du_g))
+        return dX, du
+
+    smapped = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("lm"), P("lm"), P("lm"), P("lm"), P(), P(), P()),
+        out_specs=(P("lm"), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def solve(p_sparse, blocks, hessian_factor):
+        hf = jnp.asarray(hessian_factor, blocks.E.dtype)
+        dX, du = smapped(blocks.E, blocks.Fpf, blocks.gp,
+                         p_sparse.frame_idx, blocks.G, blocks.gf, hf)
+        ok = jnp.all(jnp.isfinite(du)) & jnp.all(jnp.isfinite(dX))
+        return dX, du, ok
+
+    return solve
+
+
 def make_sharded_ba_step(n_points: int, n_frames: int, mesh: Mesh,
                          unity_comp_ind: int = 1):
     """One full distributed Gauss-Newton/LM trial step: derivative blocks
