@@ -1,71 +1,73 @@
-"""Benchmark: MonoSlam EKF frames/sec/chip on a scenario03-sized problem.
+"""Benchmark: MonoSlam EKF frames/sec/chip on the scenario03 closed loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference implies a 30 fps real-time target on host CPU for the
-Davison sequence (dT=1/30 s, demo-monoslam-imageseq.json; SURVEY §6) —
-vs_baseline = fps / 30.
+Baseline: the reference implies a 30 fps real-time target on host CPU
+(dT=1/30 s, demo-monoslam-imageseq.json; SURVEY §6) — vs_baseline = fps/30.
 
-Runs on the default JAX platform (the real TPU chip under the driver); the
-whole frame step (predict + stacked update over a full landmark set +
-health checks) is one jitted program, measured steady-state.
+The whole closed loop (GT-projecting matcher, stacked masked update over a
+full 96-landmark set, health checks, prediction) runs on-device as one
+lax.scan over frames (world/device_runner.py) — no host round-trips inside
+the measurement; the oscillating camera makes residuals/covariances evolve
+like the real scenario, so this is tracking throughput, not a matmul loop.
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import time
-
-import numpy as np
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    # EKF covariance math needs true f32 accumulation: the TPU default
-    # (bf16 matmul inputs) destroys the innovation Cholesky after ~50 chained
-    # updates. "highest" = f32 via bf16x6 passes on the MXU.
+    # EKF covariance math needs true f32 accumulation on the MXU: the bf16
+    # default destroys the innovation Cholesky after ~50 chained updates.
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from surikatoko_tpu.models.monoslam.filter import _process_frame
-    from __graft_entry__ import _make_problem
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from test_device_runner import build_device_scenario
+    from surikatoko_tpu.geom import camera
+    from surikatoko_tpu.models.monoslam import make_params, init_state
+    from surikatoko_tpu.world.device_runner import (
+        init_with_gt_landmarks, make_scan_runner)
 
-    capacity = 96           # production-ish landmark set (imageseq scale)
+    capacity = 96
     dtype = jnp.float32
-    params, state, obs, obs_mask = _make_problem(capacity, dtype)
-    new_pix = jnp.zeros((8, 2), dtype)
-    new_mask = jnp.zeros((8,), bool)
-    new_rho = jnp.full((8,), jnp.nan, dtype)
+    sc = build_device_scenario(capacity=capacity, dtype=dtype)
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                 (0.01, 0.01), dtype=dtype)
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.075,
+                         process_noise_ang_veloc_std=0.01, dtype=dtype)
+    state = init_state(capacity, dtype=dtype)
+    state = init_with_gt_landmarks(params, sc, state, jax.random.PRNGKey(0))
+    run = make_scan_runner(params, update_impl=1)
 
-    step = functools.partial(_process_frame, params, 1)
+    F = int(sc.gt_cfw_R.shape[0])
+    CHUNK = 80
+    frames0 = jnp.arange(1, 1 + CHUNK)
 
-    # on-device frame loop: lax.scan chains CHUNK frame steps in one program
-    # (the steady-state tracking loop; host dispatch amortized away)
-    CHUNK = 50
-
-    @jax.jit
-    def run_chunk(st):
-        def body(s, _):
-            s, stats = step(s, obs, obs_mask, new_pix, new_mask, new_rho)
-            return s, stats.opt_reproj_err
-        return jax.lax.scan(body, st, None, length=CHUNK)
-
-    st, errs = run_chunk(state)   # warmup / compile
+    # warmup / compile
+    st, errs, _ = run(state, sc, frames0, jax.random.PRNGKey(1))
     jax.block_until_ready(st)
     assert bool(jnp.all(jnp.isfinite(errs))), "non-finite residuals in bench"
 
-    n_chunks = 8
-    t0 = time.perf_counter()
+    n_chunks = 6
     cur = st
-    for _ in range(n_chunks):
-        cur, _ = run_chunk(cur)
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        lo = 1 + ((c + 1) * CHUNK) % (F - CHUNK - 1)
+        cur, errs, _ = run(cur, sc, jnp.arange(lo, lo + CHUNK),
+                           jax.random.PRNGKey(c + 2))
     jax.block_until_ready(cur)
     dt = time.perf_counter() - t0
 
     fps = n_chunks * CHUNK / dt
     print(json.dumps({
-        "metric": "monoslam_ekf_frames_per_sec_per_chip",
+        "metric": "monoslam_scenario03_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 2),

@@ -1,0 +1,68 @@
+"""On-device closed-loop scan runner: tracks scenario03 like the host loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surikatoko_tpu.geom import camera
+from surikatoko_tpu.geom.se3 import SE3
+from surikatoko_tpu.models.monoslam import MonoSlamFilter, make_params, init_state
+from surikatoko_tpu.world import scene_gen
+from surikatoko_tpu.world.device_runner import (
+    DeviceScenario, init_with_gt_landmarks, make_scan_runner)
+from surikatoko_tpu.world.runner import gt_poses_in_tracker_frame
+
+
+def build_device_scenario(capacity=32, dtype=jnp.float64):
+    wb = scene_gen.WorldBounds(0.0, 0.9, 0.0, 0.9, 0.0, 0.9001)
+    cell = 0.3
+    points_world = np.asarray(scene_gen.generate_grid_points(
+        wb, (cell, cell, cell), 0.2))
+    center = points_world.mean(axis=0)
+    gt_cfw_world = scene_gen.oscillate_right_and_left(
+        center + np.array([0, -2.0, 0]), center, (0, 0, 1),
+        max_deviation=0.6, periods_count=2, shots_per_period=160,
+        const_view_dir=True)
+    gt_cfw = gt_poses_in_tracker_frame(gt_cfw_world)
+    tfw = SE3(gt_cfw_world.R[0], gt_cfw_world.t[0])
+    pts = points_world @ np.asarray(tfw.R).T + np.asarray(tfw.t)
+    # pad/crop points to capacity
+    n = len(pts)
+    if n < capacity:
+        pts = np.concatenate([pts] * (capacity // n + 1))[:capacity]
+        pts = pts + np.random.default_rng(0).normal(scale=0.02, size=pts.shape)
+    else:
+        pts = pts[:capacity]
+    sc = DeviceScenario(
+        gt_cfw_R=jnp.asarray(np.asarray(gt_cfw.R), dtype),
+        gt_cfw_t=jnp.asarray(np.asarray(gt_cfw.t), dtype),
+        gt_points=jnp.asarray(pts, dtype),
+        image_size=jnp.asarray([320.0, 240.0], dtype),
+        noise_std=jnp.asarray(0.5, dtype))
+    return sc
+
+
+def test_scan_runner_tracks():
+    dtype = jnp.float64
+    sc = build_device_scenario(capacity=32, dtype=dtype)
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95, (0.01, 0.01),
+                                 dtype=dtype)
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.075,
+                         process_noise_ang_veloc_std=0.01, dtype=dtype)
+    state = init_state(32, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    state = init_with_gt_landmarks(params, sc, state, key)
+    assert int(jnp.sum(state.lm_active)) >= 16
+
+    run = make_scan_runner(params, update_impl=1)
+    frames = jnp.arange(1, 61)
+    state, errs, cam_pos = run(state, sc, frames, jax.random.PRNGKey(1))
+    assert bool(jnp.all(jnp.isfinite(errs)))
+    # residuals at the noise level, not diverging
+    assert float(jnp.mean(errs[10:])) < 3.0
+    # camera position tracks GT within scene scale
+    gt_pos = np.stack([np.asarray(SE3(sc.gt_cfw_R[f], sc.gt_cfw_t[f]).inv().t)
+                       for f in range(1, 61)])
+    err = np.linalg.norm(np.asarray(cam_pos) - gt_pos, axis=1)
+    assert err.max() < 0.5, err.max()
