@@ -96,6 +96,7 @@ struct Loader {
     int width = 0;
     int height = 0;
     size_t next_to_decode = 0;
+    size_t in_flight = 0;   // claimed by the worker but not yet in `ready`
     size_t prefetch_depth = 4;
 
     std::deque<Frame> ready;
@@ -116,6 +117,7 @@ struct Loader {
                 if (stop.load()) return;
                 if (next_to_decode >= paths.size()) return;
                 idx = next_to_decode++;
+                in_flight++;
             }
             Frame fr;
             fr.index = static_cast<int>(idx);
@@ -123,6 +125,7 @@ struct Loader {
             {
                 std::lock_guard<std::mutex> lk(mu);
                 ready.push_back(std::move(fr));
+                in_flight--;
             }
             cv_ready.notify_one();
         }
@@ -167,7 +170,7 @@ int fl_next(void* h, uint8_t* out, int64_t out_len) {
     std::unique_lock<std::mutex> lk(L->mu);
     L->cv_ready.wait(lk, [&] {
         return !L->ready.empty() ||
-               (L->next_to_decode >= L->paths.size() && L->ready.empty());
+               (L->next_to_decode >= L->paths.size() && L->in_flight == 0);
     });
     if (L->ready.empty()) return -1;  // exhausted
     Frame fr = std::move(L->ready.front());

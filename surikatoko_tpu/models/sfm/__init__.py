@@ -10,3 +10,4 @@ the prototype's sequential loop).
 from surikatoko_tpu.models.sfm import mvg as mvg
 from surikatoko_tpu.models.sfm import ransac as ransac
 from surikatoko_tpu.models.sfm import autocalib as autocalib
+from surikatoko_tpu.models.sfm import five_point as five_point
