@@ -139,18 +139,21 @@ def main() -> int:
     logger = TrackerInternalsLogger()
 
     if args.image_dir:
+        from surikatoko_tpu.io.frame_loader import FrameLoader
         from surikatoko_tpu.vision.matcher import ImageTemplCornersMatcher
-        from surikatoko_tpu.vision.picture import list_image_dir, load_picture
 
         matcher = ImageTemplCornersMatcher(
             tracker, templ_width=args.templ_width,
             min_corr_coeff=args.templ_min_corr_coeff)
-        paths = list_image_dir(args.image_dir)[: args.frames]
+        loader = FrameLoader(args.image_dir)
+        print(f"frame loader: native={loader.native} "
+              f"{loader.frame_count} frames {loader.width}x{loader.height}")
         state = tracker.init_state()
-        for f, path in enumerate(paths):
-            pic = load_picture(path)
+        for f, gray in loader:
+            if args.frames is not None and f >= args.frames:
+                break
             logger.start_new_frame()
-            matcher.analyze_frame(pic.gray.astype(np.float32))
+            matcher.analyze_frame(gray.astype(np.float32))
             obs, obs_mask = matcher.match_salient_points(state, f)
             new_pix, new_mask = matcher.recruit_new_salient_points(state, f, obs_mask)
             state, stats = tracker.process_frame(state, obs, obs_mask,
