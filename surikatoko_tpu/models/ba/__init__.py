@@ -28,3 +28,7 @@ from surikatoko_tpu.models.ba.lm import (
     BundleAdjustment as BundleAdjustment,
     TermCriteria as TermCriteria,
 )
+from surikatoko_tpu.models.ba.lm import (
+    SparseBundleAdjustment as SparseBundleAdjustment,
+)
+from surikatoko_tpu.models.ba import sparse as sparse

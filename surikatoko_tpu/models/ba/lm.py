@@ -109,3 +109,82 @@ class BundleAdjustment:
 
         self.stop_reason = "max iterations"
         return True, p
+
+
+@dataclass
+class SparseBundleAdjustment:
+    """LM driver over the padded-track sparse problem (models/ba/sparse.py)
+    with the same damping schedule/termination as :class:`BundleAdjustment`.
+    Used for the at-scale configuration; optionally distributed by passing a
+    mesh (point-sharded Schur with psum reduction)."""
+
+    unity_comp_ind: int = 1
+    optimize_intrinsics: bool = True
+    point_chunk: int = 512
+    mesh: object = None          # jax.sharding.Mesh -> distributed solve
+    stop_reason: str = field(default="", init=False)
+    iterations: int = field(default=0, init=False)
+
+    def __post_init__(self):
+        from surikatoko_tpu.models.ba import sparse as sp
+
+        self._sp = sp
+        self._err = jax.jit(sp.reproj_error)
+        self._blocks = jax.jit(functools.partial(
+            sp.compute_blocks, unity_comp_ind=self.unity_comp_ind,
+            optimize_intrinsics=self.optimize_intrinsics))
+        self._apply = jax.jit(sp.apply_corrections)
+        self._solver = None
+
+    def _solve(self, p, blocks, factor):
+        if self.mesh is not None:
+            if self._solver is None:
+                from surikatoko_tpu.parallel.sharded_schur import (
+                    make_sharded_sparse_schur_solver)
+
+                self._solver = make_sharded_sparse_schur_solver(
+                    p.n_points, p.n_frames, p.track_len, self.mesh,
+                    self.unity_comp_ind, self.optimize_intrinsics,
+                    self.point_chunk)
+            return self._solver(p, blocks, factor)
+        return self._sp.solve_corrections_schur_sparse(
+            p, blocks, factor, self.unity_comp_ind, self.optimize_intrinsics,
+            self.point_chunk)
+
+    def compute(self, p, term_crit: TermCriteria | None = None):
+        term_crit = term_crit or TermCriteria()
+        hessian_factor = 1e-4
+        err_value = float(self._err(p))
+        err_thresh = term_crit.allowed_reproj_err_rel_change
+        self.iterations = 0
+        for _ in range(term_crit.max_iters):
+            blocks = self._blocks(p)
+            err_new_prev = None
+            while True:
+                dX, du, ok = self._solve(p, blocks, hessian_factor)
+                if not bool(ok):
+                    self.stop_reason = "hessian overflow"
+                    return False, p
+                p_try = self._apply(p, dX, du)
+                err_new = float(self._err(p_try))
+                if err_new < err_value:
+                    p = p_try
+                    break
+                if (err_new_prev is not None and err_thresh is not None
+                        and abs(err_new - err_new_prev) < err_thresh):
+                    self.stop_reason = "err converged to limit value"
+                    return False, p
+                hessian_factor *= 10.0
+                if (term_crit.max_hessian_factor is not None
+                        and hessian_factor > term_crit.max_hessian_factor):
+                    self.stop_reason = "hessian overflow"
+                    return False, p
+                err_new_prev = err_new
+            self.iterations += 1
+            if err_thresh is not None and abs(err_new - err_value) < err_thresh:
+                self.stop_reason = "small relative err change"
+                return True, p
+            err_value = err_new
+            hessian_factor /= 10.0
+        self.stop_reason = "max iterations"
+        return True, p

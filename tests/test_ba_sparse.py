@@ -95,3 +95,50 @@ def test_sparse_medium_scale_smoke(rng):
         if float(sparse.reproj_error(ps2)) < float(sparse.reproj_error(ps)):
             ps = ps2
     assert float(sparse.reproj_error(ps)) < err0 * 0.05
+
+
+def test_sparse_lm_driver(problems):
+    """SparseBundleAdjustment converges on the circle-grid problem."""
+    from surikatoko_tpu.models.ba import SparseBundleAdjustment, TermCriteria
+    from surikatoko_tpu.models.ba import normalize as norm_mod
+    _, ps = problems
+    # normalize gauge first (driver operates on the normalized world)
+    from surikatoko_tpu.models.ba.problem import BAProblem
+    import jax.numpy as jnp
+    dummy = BAProblem(points=ps.points, cfw_R=ps.cfw_R, cfw_t=ps.cfw_t, K=ps.K,
+                      obs=jnp.zeros((1, ps.n_frames, 2), ps.points.dtype),
+                      obs_mask=jnp.zeros((1, ps.n_frames), bool), f0=ps.f0)
+    dnorm, _ = norm_mod.normalize_scene(dummy)
+    ps_n = ps._replace(points=dnorm.points, cfw_R=dnorm.cfw_R, cfw_t=dnorm.cfw_t)
+    err0 = float(sparse.reproj_error(ps_n))
+    ba = SparseBundleAdjustment(point_chunk=16)
+    ok, ps_opt = ba.compute(ps_n, TermCriteria(allowed_reproj_err_rel_change=1e-10))
+    err1 = float(sparse.reproj_error(ps_opt))
+    assert err1 < err0 * 1e-4, (err0, err1, ba.stop_reason)
+
+
+def test_sparse_lm_driver_distributed(problems):
+    from surikatoko_tpu.models.ba import SparseBundleAdjustment, TermCriteria
+    from surikatoko_tpu.parallel import landmark_mesh
+    ps = _padded_problem_for_mesh(problems)
+    err0 = float(sparse.reproj_error(ps))
+    ba = SparseBundleAdjustment(point_chunk=8, mesh=landmark_mesh(8))
+    ok, ps_opt = ba.compute(ps, TermCriteria(allowed_reproj_err_rel_change=1e-10,
+                                             max_iters=30))
+    err1 = float(sparse.reproj_error(ps_opt))
+    assert err1 < err0 * 1e-3, (err0, err1, ba.stop_reason)
+
+
+def _padded_problem_for_mesh(problems):
+    import jax.numpy as jnp
+    _, ps = problems
+    Np = ps.n_points
+    pad = (-Np) % 8
+    if pad:
+        ps = ps._replace(
+            points=jnp.concatenate([ps.points, jnp.ones((pad, 3), ps.points.dtype)]),
+            obs=jnp.concatenate([ps.obs, jnp.zeros((pad,) + ps.obs.shape[1:], ps.obs.dtype)]),
+            frame_idx=jnp.concatenate([ps.frame_idx, jnp.zeros((pad, ps.track_len), jnp.int32)]),
+            obs_mask=jnp.concatenate([ps.obs_mask, jnp.zeros((pad, ps.track_len), bool)]),
+        )
+    return ps

@@ -66,3 +66,29 @@ def test_scan_runner_tracks():
                        for f in range(1, 61)])
     err = np.linalg.norm(np.asarray(cam_pos) - gt_pos, axis=1)
     assert err.max() < 0.5, err.max()
+
+
+def test_long_horizon_f32_stability():
+    """f32 long-horizon run (the TPU dtype): residuals stay at noise level,
+    covariance healthy after 300+ frames (CPU executes f32 exactly; on TPU
+    this requires matmul precision 'highest' — bench.py sets it)."""
+    dtype = jnp.float32
+    sc = build_device_scenario(capacity=32, dtype=dtype)
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95, (0.01, 0.01),
+                                 dtype=dtype)
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.075,
+                         process_noise_ang_veloc_std=0.01, dtype=dtype)
+    st = init_state(32, dtype=dtype)
+    st = init_with_gt_landmarks(params, sc, st, jax.random.PRNGKey(0))
+    run = make_scan_runner(params, update_impl=1)
+    errs_all = []
+    for rep in range(2):
+        frames = jnp.arange(1, 160)
+        st, errs, _ = run(st, sc, frames, jax.random.PRNGKey(rep))
+        errs_all.append(np.asarray(errs))
+    errs_all = np.concatenate(errs_all)
+    assert np.isfinite(errs_all).all()
+    assert errs_all[-80:].mean() < 2 * max(errs_all[:80].mean(), 0.5)
+    assert abs(float(jnp.linalg.norm(st.x[3:7])) - 1) < 1e-3
+    assert float(jnp.min(jnp.diag(st.P))) > -1e-5
