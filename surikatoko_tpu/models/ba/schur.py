@@ -18,6 +18,7 @@ Solves H d = -g; returns (dX [Np,3], du [F,10]).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
 
 from surikatoko_tpu.models.ba.derivs import FRAME_VARS, GNBlocks, frame_var_mask
 
@@ -67,7 +68,8 @@ def solve_corrections_schur(blocks: GNBlocks, hessian_factor,
     dgs = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(S)), 1e-12))
     dinv = 1.0 / dgs
     Sp = S * dinv[:, None] * dinv[None, :]
-    du = (dinv * jnp.linalg.solve(Sp, rhs * dinv)).reshape(F, FRAME_VARS)
+    du = (dinv * cho_solve(cho_factor(Sp, lower=True), rhs * dinv)
+          ).reshape(F, FRAME_VARS)
     # back-substitute points: dX_i = -E_i^-1 (gp_i + sum_j F_ij du_j)
     dX = -jnp.einsum("iab,ib->ia",
                      Einv, blocks.gp + jnp.einsum("ifab,fb->ia", blocks.Fpf, du))

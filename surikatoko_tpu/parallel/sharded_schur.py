@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -147,7 +148,8 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
         d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(S2)), 1e-12))
         dinv = 1.0 / d
         S2p = S2 * dinv[:, None] * dinv[None, :]
-        du = (dinv * jnp.linalg.solve(S2p, rhs * dinv)).reshape(F, FRAME_VARS)
+        du = (dinv * cho_solve(cho_factor(S2p, lower=True), rhs * dinv)
+              ).reshape(F, FRAME_VARS)
         du_g = du[fidx]
         dX = -jnp.einsum("iab,ib->ia", Einv,
                          gp + jnp.einsum("ilab,ilb->ia", Fpf, du_g))
