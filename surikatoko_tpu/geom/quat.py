@@ -56,18 +56,28 @@ def from_axis_angle(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
-    """Rotation vector from unit quaternion (inverse of :func:`from_axis_angle`)."""
+    """Rotation vector from unit quaternion (inverse of :func:`from_axis_angle`).
+
+    Differentiable at the identity rotation: the |qv| -> 0 singularity is
+    handled with sanitized branches (sqrt/atan2 never see zero on the
+    cotangent path), because pose-graph/filter residuals routinely sit
+    exactly at identity."""
     qw = q[..., 0]
     qv = q[..., 1:]
-    sin_half = jnp.linalg.norm(qv, axis=-1)
     # force qw >= 0 (angle in [0, pi]) by sign flip
     sign = jnp.where(qw < 0, -1.0, 1.0)
     qw = qw * sign
     qv = qv * sign[..., None]
+    s2 = jnp.sum(qv * qv, axis=-1)
+    small = s2 < 1e-12
+    s2_safe = jnp.where(small, 1.0, s2)      # sanitized for value AND grad
+    sin_half = jnp.sqrt(s2_safe)
     half = jnp.arctan2(sin_half, qw)
-    small = sin_half < 1e-8
-    # theta/sin(theta/2) ≈ 2 + theta^2/12 for small theta
-    k = jnp.where(small, 2.0 + (2.0 * half) ** 2 / 12.0, 2.0 * half / jnp.where(small, 1.0, sin_half))
+    k_large = 2.0 * half / sin_half
+    # theta = 2 atan(|qv|/qw):  w = qv * (2/qw) (1 - |qv|^2/(3 qw^2)) + O(th^5)
+    qw_safe = jnp.maximum(qw, 1e-12)
+    k_small = (2.0 / qw_safe) * (1.0 - s2 / (3.0 * qw_safe * qw_safe))
+    k = jnp.where(small, k_small, k_large)
     return k[..., None] * qv
 
 

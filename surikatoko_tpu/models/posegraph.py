@@ -1,0 +1,119 @@
+"""SE(3) pose-graph optimization.
+
+The north-star SfM path names a pose graph alongside BA (BASELINE.json); the
+reference has only implicit odometry chains. This module optimizes keyframe
+poses against relative-pose constraints (odometry + loop closures):
+
+  minimize  sum_e || w_e * log( Z_e^-1 * T_i^-1 * T_j ) ||^2
+
+with T = world-from-keyframe, Z_e the measured j-from-i relative transform,
+log the SE(3) right-translation residual split into (rotation log, position
+difference in frame i). Gauss-Newton with autodiff Jacobians over local
+increments (left-multiplied se(3) twists), gauge fixed by pinning pose 0 (the
+unit-diagonal masking trick used across the framework). Edges are a fixed-
+capacity masked array; everything jits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from surikatoko_tpu.geom import so3
+
+
+class PoseGraph(NamedTuple):
+    R: jnp.ndarray          # [N,3,3] world-from-keyframe rotations
+    t: jnp.ndarray          # [N,3] keyframe positions
+    edge_i: jnp.ndarray     # [E] int32 source pose index
+    edge_j: jnp.ndarray     # [E] int32 target pose index
+    rel_R: jnp.ndarray      # [E,3,3] measured R_i^-1 R_j
+    rel_t: jnp.ndarray      # [E,3] measured t_ij in frame i
+    weight: jnp.ndarray     # [E] scalar edge weights
+    mask: jnp.ndarray       # [E] valid edges
+
+
+def make_pose_graph(R, t, edges) -> PoseGraph:
+    """edges: list of (i, j, rel_R [3,3], rel_t [3], weight)."""
+    import numpy as np
+
+    E = len(edges)
+    ei = np.asarray([e[0] for e in edges], np.int32)
+    ej = np.asarray([e[1] for e in edges], np.int32)
+    rR = np.stack([np.asarray(e[2]) for e in edges])
+    rt = np.stack([np.asarray(e[3]) for e in edges])
+    w = np.asarray([e[4] if len(e) > 4 else 1.0 for e in edges])
+    return PoseGraph(
+        R=jnp.asarray(R), t=jnp.asarray(t),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        rel_R=jnp.asarray(rR, jnp.asarray(R).dtype),
+        rel_t=jnp.asarray(rt, jnp.asarray(R).dtype),
+        weight=jnp.asarray(w, jnp.asarray(R).dtype),
+        mask=jnp.ones((E,), bool))
+
+
+def edge_residuals(g: PoseGraph, dw: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
+    """[E,6] residuals at local increments (dw, dt) [N,3] each (zeros at the
+    linearization point): rotation-log and frame-i translation errors."""
+    R = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, g.R)
+    t = g.t + dt
+    Ri = R[g.edge_i]
+    Rj = R[g.edge_j]
+    ti = t[g.edge_i]
+    tj = t[g.edge_j]
+    R_ij = jnp.einsum("eab,eac->ebc", Ri, Rj)          # Ri^T Rj
+    t_ij = jnp.einsum("eab,ea->eb", Ri, tj - ti)       # Ri^T (tj - ti)
+    dR = jnp.einsum("eab,eac->ebc", g.rel_R, R_ij)     # Z_R^T R_ij
+    r_rot = so3.log(dR)
+    r_trn = t_ij - g.rel_t
+    r = jnp.concatenate([r_rot, r_trn], axis=-1)
+    wgt = (g.weight * g.mask.astype(r.dtype))[:, None]
+    return r * wgt
+
+
+def graph_error(g: PoseGraph) -> jnp.ndarray:
+    z = jnp.zeros_like(g.t)
+    r = edge_residuals(g, z, z)
+    return jnp.sum(r * r)
+
+
+def optimize_pose_graph(g: PoseGraph, iters: int = 20,
+                        damping: float = 1e-6) -> PoseGraph:
+    """Gauss-Newton over all poses; pose 0 pinned (gauge)."""
+    N = g.R.shape[0]
+    dtype = g.t.dtype
+
+    @jax.jit
+    def gn_step(g: PoseGraph) -> PoseGraph:
+        z = jnp.zeros((N, 3), dtype)
+
+        def res_flat(dw, dt):
+            return edge_residuals(g, dw, dt).reshape(-1)
+
+        r = res_flat(z, z)
+        Jw, Jt = jax.jacfwd(res_flat, argnums=(0, 1))(z, z)
+        J = jnp.concatenate([Jw.reshape(r.shape[0], -1),
+                             Jt.reshape(r.shape[0], -1)], axis=1)  # [m, 6N]
+        # pin pose 0: zero its columns (dw0 at cols 0:3, dt0 at 3N:3N+3)
+        free = jnp.ones((2 * 3 * N,), dtype)
+        free = free.at[0:3].set(0.0).at[3 * N:3 * N + 3].set(0.0)
+        J = J * free[None, :]
+        H = J.T @ J + (damping + 1e-12) * jnp.eye(6 * N, dtype=dtype)
+        # unit diagonal on pinned vars
+        pin = 1.0 - free
+        H = H + jnp.diag(pin)
+        d = -jnp.linalg.solve(H, J.T @ r)
+        dw = d[: 3 * N].reshape(N, 3)
+        dt = d[3 * N:].reshape(N, 3)
+        R_new = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, g.R)
+        return g._replace(R=R_new, t=g.t + dt)
+
+    for _ in range(iters):
+        g_try = gn_step(g)
+        if float(graph_error(g_try)) < float(graph_error(g)):
+            g = g_try
+        else:
+            break
+    return g
