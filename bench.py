@@ -26,9 +26,8 @@ def main() -> None:
     # default destroys the innovation Cholesky after ~50 chained updates.
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    import sys, os
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from test_device_runner import build_device_scenario
+    from surikatoko_tpu.world.device_runner import (
+        build_oscillating_scenario as build_device_scenario)
     from surikatoko_tpu.geom import camera
     from surikatoko_tpu.models.monoslam import make_params, init_state
     from surikatoko_tpu.world.device_runner import (

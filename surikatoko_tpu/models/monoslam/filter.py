@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from surikatoko_tpu.models.monoslam import health, landmarks, measure, update
+from surikatoko_tpu.models.monoslam import state as state_mod
 from surikatoko_tpu.models.monoslam.state import (
     CAM_STATE_COMPS,
     MonoSlamParams,
@@ -98,6 +99,46 @@ class MonoSlamFilter:
         return self._pix_unc(state)
 
 
+def format_state(state: MonoSlamState, max_landmarks: int = 16,
+                 sal_pnt_repres: int = state_mod.REPRES_SPHERICAL) -> str:
+    """Human-readable filter dump (reference DumpTrackerState,
+    davison-mono-slam.cpp:2162-2267): camera state + per-landmark spherical
+    state, Euclidean position and variance diagonal."""
+    import numpy as np
+
+    from surikatoko_tpu.models.monoslam import measure
+
+    x = np.asarray(state.x)
+    P = np.asarray(state.P)
+    lines = [
+        f"frame_ind={int(state.frame_ind)} active_landmarks="
+        f"{int(np.sum(np.asarray(state.lm_active)))}/{state.capacity}",
+        f"cam r=[{x[0]:+.4f} {x[1]:+.4f} {x[2]:+.4f}] "
+        f"q=[{x[3]:+.4f} {x[4]:+.4f} {x[5]:+.4f} {x[6]:+.4f}]",
+        f"    v=[{x[7]:+.4f} {x[8]:+.4f} {x[9]:+.4f}] "
+        f"w=[{x[10]:+.4f} {x[11]:+.4f} {x[12]:+.4f}]",
+        f"    pos var diag=[{P[0,0]:.3e} {P[1,1]:.3e} {P[2,2]:.3e}]",
+    ]
+    shown = 0
+    for k in range(state.capacity):
+        if not bool(state.lm_active[k]) or shown >= max_landmarks:
+            continue
+        off = _N + 6 * k
+        lm = state.x[off:off + 6]
+        pos = np.asarray(measure.landmark_world_pos(lm, repres=sal_pnt_repres))
+        var = np.diag(P[off:off + 6, off:off + 6])
+        lines.append(
+            f"lm[{k}] gen={int(state.lm_generation[k])} "
+            f"xyz=[{pos[0]:+.3f} {pos[1]:+.3f} {pos[2]:+.3f}] "
+            f"rho={float(lm[5]):.4f} var_tr={var.sum():.3e} "
+            f"unobs={int(state.lm_unobserved[k])}")
+        shown += 1
+    active_total = int(np.sum(np.asarray(state.lm_active)))
+    if active_total > shown:
+        lines.append(f"... and {active_total - shown} more landmarks")
+    return "\n".join(lines)
+
+
 def _predicted_pixel_uncertainty(params, state):
     h, Hcam, Hlm = measure.measurement_jacobians(params, state.x)
     A = update._hp(Hcam, Hlm, state.P)
@@ -147,10 +188,12 @@ def _process_frame(params: MonoSlamParams, update_impl: int,
     # ---- self-healing (reference :1118-1125) ----
     x, P = health.normalize_quat_and_covar(x, P)
     P = health.ensure_nonneg_variance(P)
-    x, _ = health.substitute_negative_inv_rho(
-        x, params.sal_pnt_negative_inv_rho_substitute, state.capacity)
+    if params.sal_pnt_repres != state_mod.REPRES_XYZ:  # rho is spherical-only
+        x, _ = health.substitute_negative_inv_rho(
+            x, params.sal_pnt_negative_inv_rho_substitute, state.capacity)
     bad = health.bad_uncertainty_mask(
-        x, P, state.capacity, params.sal_pnt_negative_inv_rho_substitute)
+        x, P, state.capacity, params.sal_pnt_negative_inv_rho_substitute,
+        params.sal_pnt_repres)
     bad = jnp.logical_and(bad, state.lm_active)
     remove = jnp.logical_or(stale, bad)
     deleted_count = jnp.sum(jnp.logical_and(remove, state.lm_active).astype(jnp.int32))

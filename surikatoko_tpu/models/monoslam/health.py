@@ -59,16 +59,18 @@ def symmetrize(P: jnp.ndarray) -> jnp.ndarray:
 
 
 def landmark_pos_covariances(x: jnp.ndarray, P: jnp.ndarray, capacity: int,
-                             substitute_rho: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+                             substitute_rho: jnp.ndarray,
+                             repres: int = 2) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(pos [K,3], cov [K,3,3]) of each landmark's Euclidean position by
     first-order propagation through the spherical->XYZ map (reference
-    GetSalientPoint3DPosWithUncertaintyNew :3889)."""
+    GetSalientPoint3DPosWithUncertaintyNew :3889; identity map for XYZ
+    slots)."""
     from surikatoko_tpu.models.monoslam import measure
 
     lms = x[_N:].reshape(capacity, 6)
 
     def one(slot_lm, slot_cov):
-        f = lambda lm: measure.landmark_world_pos(lm, substitute_rho)
+        f = lambda lm: measure.landmark_world_pos(lm, substitute_rho, repres)
         pos = f(slot_lm)
         J = jax.jacfwd(f)(slot_lm)
         return pos, J @ slot_cov @ J.T
@@ -80,14 +82,15 @@ def landmark_pos_covariances(x: jnp.ndarray, P: jnp.ndarray, capacity: int,
 
 
 def bad_uncertainty_mask(x: jnp.ndarray, P: jnp.ndarray, capacity: int,
-                         substitute_rho: jnp.ndarray) -> jnp.ndarray:
+                         substitute_rho: jnp.ndarray,
+                         repres: int = 2) -> jnp.ndarray:
     """True for landmarks whose 3D uncertainty ellipsoid is non-extractable
     (non-PSD / non-finite propagated covariance) — candidates for removal.
 
     Positive-definiteness via Sylvester's criterion (three leading minors)
     instead of eigendecomposition: closed-form and ~10x cheaper than the K
     batched 3x3 eigh calls on TPU (hot: runs every frame)."""
-    _, covs = landmark_pos_covariances(x, P, capacity, substitute_rho)
+    _, covs = landmark_pos_covariances(x, P, capacity, substitute_rho, repres)
     a, b, c = covs[:, 0, 0], covs[:, 0, 1], covs[:, 0, 2]
     d, e, f = covs[:, 1, 1], covs[:, 1, 2], covs[:, 2, 2]
     det2 = a * d - b * b

@@ -35,14 +35,22 @@ _N = CAM_STATE_COMPS
 
 def new_landmark_state(params: MonoSlamParams, cam_pq7: jnp.ndarray,
                        pix: jnp.ndarray, inv_dist: jnp.ndarray) -> jnp.ndarray:
-    """Spherical inverse-depth landmark [first_cam_pos, theta, phi, rho] from
-    the first observation (A.58): backproject the pixel, rotate into the
-    tracker frame, take azimuth/elevation; rho is the prior (or GT) value."""
+    """Landmark slot from the first observation (A.58): backproject the pixel,
+    rotate into the tracker frame. Spherical: [first_cam_pos, theta, phi,
+    rho], rho = prior (or GT) inverse distance. XYZ (reference
+    SAL_PNT_REPRES=1): the point placed at distance 1/rho along the ray,
+    padded to the 6-wide slot."""
+    from surikatoko_tpu.models.monoslam.state import REPRES_XYZ
+
     r = cam_pq7[0:3]
     q = cam_pq7[3:7]
     dist = params.dist if params.enable_distortion else None
     hc = cam_mod.backproject_pixel(params.cam, dist, pix)
     hw = quat.to_rotmat(q) @ hc
+    if params.sal_pnt_repres == REPRES_XYZ:
+        m = hw / jnp.linalg.norm(hw)
+        pos = r + m / inv_dist
+        return jnp.concatenate([pos, jnp.zeros((3,), pos.dtype)])
     theta, phi = cam_mod.azim_elev_from_dir(hw)
     return jnp.concatenate([r, jnp.stack([theta, phi, inv_dist])])
 
@@ -54,19 +62,20 @@ def new_landmark_covariance(
     """(y [6], autocovar [6,6], cross-covar with all D vars [6,D]).
 
     y = g(cam_pq, pix, rho);  J_cam = dg/d(cam_pq) [6,7], J_pix = dg/dpix
-    [6,2], dg/drho = e_rho. Then (A.67-A.79):
-      autocov = J_cam P77 J_cam^T + J_pix R J_pix^T + sigma_rho^2 e e^T
+    [6,2], J_rho = dg/drho [6]. Then (A.67-A.79):
+      autocov = J_cam P77 J_cam^T + J_pix R J_pix^T + sigma_rho^2 J_rho J_rho^T
       cross   = J_cam P[0:7, :]
-    """
+    (for spherical slots J_rho = e_rho exactly; for XYZ it spreads the depth
+    prior along the viewing ray, the reference's :2457 XYZ branch)."""
     cam_pq = x[:7]
     g = lambda c, p, rho: new_landmark_state(params, c, p, rho)
     y = g(cam_pq, pix, inv_dist)
-    J_cam, J_pix = jax.jacfwd(g, argnums=(0, 1))(cam_pq, pix, inv_dist)
+    J_cam, J_pix, J_rho = jax.jacfwd(g, argnums=(0, 1, 2))(cam_pq, pix, inv_dist)
 
     r_var = params.measurm_noise_var.astype(x.dtype)
     P77 = P[:7, :7]
     auto = J_cam @ P77 @ J_cam.T + r_var * (J_pix @ J_pix.T)
-    auto = auto.at[5, 5].add(inv_dist_std.astype(x.dtype) ** 2)
+    auto = auto + (inv_dist_std.astype(x.dtype) ** 2) * jnp.outer(J_rho, J_rho)
     cross = J_cam @ P[:7, :]
     return y, auto, cross
 

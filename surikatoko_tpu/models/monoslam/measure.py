@@ -19,40 +19,71 @@ import jax.numpy as jnp
 
 from surikatoko_tpu.geom import camera as cam_mod
 from surikatoko_tpu.geom import quat
-from surikatoko_tpu.models.monoslam.state import CAM_STATE_COMPS, MonoSlamParams
+from surikatoko_tpu.models.monoslam.state import (
+    CAM_STATE_COMPS,
+    REPRES_SPHERICAL,
+    REPRES_XYZ,
+    MonoSlamParams,
+)
 
 
-def landmark_camera_point_scaled(cam13: jnp.ndarray, lm6: jnp.ndarray) -> jnp.ndarray:
-    """Landmark position in the camera frame, scaled by inverse depth rho
-    (finite at infinity, rho=0). Reference ``InternalSalientPointToCamera``
-    with scaled_by_inv_dist=true (davison-mono-slam.cpp:2880-2940)."""
+def landmark_camera_point_scaled(cam13: jnp.ndarray, lm6: jnp.ndarray,
+                                 repres: int = REPRES_SPHERICAL) -> jnp.ndarray:
+    """Landmark position in the camera frame; for the spherical representation
+    it is scaled by inverse depth rho (finite at infinity, rho=0). Reference
+    ``InternalSalientPointToCamera`` with scaled_by_inv_dist=true
+    (davison-mono-slam.cpp:2880-2940); XYZ branch = the unscaled :2905-2913
+    (a uniform scale does not change the projected pixel)."""
     r = cam13[0:3]
     q = cam13[3:7]
-    first_cam = lm6[0:3]
-    theta, phi, rho = lm6[3], lm6[4], lm6[5]
-    m = cam_mod.dir_from_azim_elev(theta, phi)
     R_wfc = quat.to_rotmat(q)
-    v_world = rho * (first_cam - r) + m
+    if repres == REPRES_XYZ:
+        v_world = lm6[0:3] - r
+    else:
+        first_cam = lm6[0:3]
+        theta, phi, rho = lm6[3], lm6[4], lm6[5]
+        m = cam_mod.dir_from_azim_elev(theta, phi)
+        v_world = rho * (first_cam - r) + m
     return R_wfc.T @ v_world  # cfw = wfc^T
 
 
 def project_landmark(params: MonoSlamParams, cam13: jnp.ndarray, lm6: jnp.ndarray) -> jnp.ndarray:
     """Distorted pixel of one landmark (reference ProjectInternalSalientPoint
     :2948)."""
-    hc = landmark_camera_point_scaled(cam13, lm6)
+    hc = landmark_camera_point_scaled(cam13, lm6, params.sal_pnt_repres)
     dist = params.dist if params.enable_distortion else None
     return cam_mod.project_camera_point(params.cam, dist, hc)
 
 
-def landmark_world_pos(lm6: jnp.ndarray, substitute_rho: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Euclidean 3D position of a spherical landmark (reference
-    ConvertXyzFromSphericalSalientPoint :405-415). For rho<=0 the point is
-    behind/at infinity; optionally substitute a small positive rho."""
+def landmark_world_pos(lm6: jnp.ndarray, substitute_rho: jnp.ndarray | None = None,
+                       repres: int = REPRES_SPHERICAL) -> jnp.ndarray:
+    """Euclidean 3D position of a landmark slot (reference
+    ConvertXyzFromSphericalSalientPoint :405-415; identity for XYZ). For
+    rho<=0 the spherical point is behind/at infinity; optionally substitute a
+    small positive rho."""
+    if repres == REPRES_XYZ:
+        return lm6[0:3]
     rho = lm6[5]
     if substitute_rho is not None:
         rho = jnp.where(rho <= 0, substitute_rho, rho)
     m = cam_mod.dir_from_azim_elev(lm6[3], lm6[4])
     return lm6[0:3] + m / rho
+
+
+def spherical_to_xyz_slot(lm6: jnp.ndarray) -> jnp.ndarray:
+    """Spherical slot -> XYZ slot (position + zero padding); reference
+    conversion davison-mono-slam.cpp:405-415."""
+    pos = landmark_world_pos(lm6)
+    return jnp.concatenate([pos, jnp.zeros((3,), lm6.dtype)])
+
+
+def xyz_to_spherical_slot(lm6: jnp.ndarray, first_cam_pos: jnp.ndarray) -> jnp.ndarray:
+    """XYZ slot -> spherical slot anchored at `first_cam_pos` (reference
+    conversion davison-mono-slam.cpp:417-467)."""
+    d = lm6[0:3] - first_cam_pos
+    theta, phi = cam_mod.azim_elev_from_dir(d)
+    rho = 1.0 / jnp.linalg.norm(d)
+    return jnp.concatenate([first_cam_pos, jnp.stack([theta, phi, rho])])
 
 
 def project_all(params: MonoSlamParams, x: jnp.ndarray) -> jnp.ndarray:

@@ -29,6 +29,14 @@ CAM_STATE_COMPS = 13
 SAL_PNT_COMPS = 6
 PROCESS_NOISE_COMPS = 6  # velocity + angular velocity white noise
 
+# Salient-point representation (reference SAL_PNT_REPRES compile-time switch,
+# suriko-engine/CMakeLists.txt:14-17, davison-mono-slam.h:39). The TPU build
+# keeps ONE 6-wide slot layout for both: XYZ uses comps [0:3] and pads [3:6]
+# with zeros (zero covariance rows — dead weight a dense TPU kernel doesn't
+# notice), so both representations share every compiled kernel.
+REPRES_XYZ = 1
+REPRES_SPHERICAL = 2
+
 
 class MonoSlamParams(NamedTuple):
     """Filter parameters (all jax scalars/arrays; static shape)."""
@@ -44,6 +52,7 @@ class MonoSlamParams(NamedTuple):
     sal_pnt_negative_inv_rho_substitute: jnp.ndarray  # clamp value (reference h:474)
     max_undetected_frames: jnp.ndarray      # delete policy (int)
     covar2d_to_ellipse_confidence: jnp.ndarray
+    sal_pnt_repres: int = REPRES_SPHERICAL  # static python int (affects trace)
 
 
 class MonoSlamState(NamedTuple):
@@ -97,8 +106,10 @@ def make_params(
     sal_pnt_negative_inv_rho_substitute: float = 1e-4,
     max_undetected_frames: int = 0,   # 0 = never delete for being unobserved
     covar2d_to_ellipse_confidence: float = 0.95,
+    sal_pnt_repres: int = REPRES_SPHERICAL,
     dtype=None,
 ) -> MonoSlamParams:
+    assert sal_pnt_repres in (REPRES_XYZ, REPRES_SPHERICAL), sal_pnt_repres
     dtype = dtype or jnp.result_type(float)
     q = jnp.concatenate([
         jnp.full((3,), process_noise_lin_veloc_std**2, dtype=dtype),
@@ -120,6 +131,7 @@ def make_params(
             sal_pnt_negative_inv_rho_substitute, dtype),
         max_undetected_frames=jnp.asarray(max_undetected_frames, jnp.int32),
         covar2d_to_ellipse_confidence=jnp.asarray(covar2d_to_ellipse_confidence, dtype),
+        sal_pnt_repres=sal_pnt_repres,
     )
 
 

@@ -77,8 +77,9 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
                 params, state.x, state.P, obs, obs_mask)
         x, P = health_mod.normalize_quat_and_covar(x, P)
         P = health_mod.ensure_nonneg_variance(P)
-        x, _ = health_mod.substitute_negative_inv_rho(
-            x, params.sal_pnt_negative_inv_rho_substitute, state.capacity)
+        if params.sal_pnt_repres != 1:  # rho substitution is spherical-only
+            x, _ = health_mod.substitute_negative_inv_rho(
+                x, params.sal_pnt_negative_inv_rho_substitute, state.capacity)
         state = state._replace(x=x, P=P)
         state = predict_mod.predict(params, state)
         err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(
@@ -95,3 +96,39 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
         return state, errs, cam_pos
 
     return run
+
+
+def build_oscillating_scenario(capacity: int = 32, dtype=None,
+                               detection_noise_std: float = 0.5):
+    """Scenario03-style DeviceScenario sized to `capacity` landmarks (grid
+    world replicated+jittered if needed). Shared by bench.py and tests."""
+    import numpy as np
+
+    from surikatoko_tpu.geom.se3 import SE3
+    from surikatoko_tpu.world import scene_gen
+    from surikatoko_tpu.world.runner import gt_poses_in_tracker_frame
+
+    dtype = dtype or jnp.float32
+    wb = scene_gen.WorldBounds(0.0, 0.9, 0.0, 0.9, 0.0, 0.9001)
+    points_world = np.asarray(scene_gen.generate_grid_points(
+        wb, (0.3, 0.3, 0.3), 0.2))
+    center = points_world.mean(axis=0)
+    gt_cfw_world = scene_gen.oscillate_right_and_left(
+        center + np.array([0, -2.0, 0]), center, (0, 0, 1),
+        max_deviation=0.6, periods_count=2, shots_per_period=160,
+        const_view_dir=True)
+    gt_cfw = gt_poses_in_tracker_frame(gt_cfw_world)
+    tfw = SE3(gt_cfw_world.R[0], gt_cfw_world.t[0])
+    pts = points_world @ np.asarray(tfw.R).T + np.asarray(tfw.t)
+    n = len(pts)
+    if n < capacity:
+        pts = np.concatenate([pts] * (capacity // n + 1))[:capacity]
+        pts = pts + np.random.default_rng(0).normal(scale=0.02, size=pts.shape)
+    else:
+        pts = pts[:capacity]
+    return DeviceScenario(
+        gt_cfw_R=jnp.asarray(np.asarray(gt_cfw.R), dtype),
+        gt_cfw_t=jnp.asarray(np.asarray(gt_cfw.t), dtype),
+        gt_points=jnp.asarray(pts, dtype),
+        image_size=jnp.asarray([320.0, 240.0], dtype),
+        noise_std=jnp.asarray(detection_noise_std, dtype))

@@ -14,32 +14,8 @@ from surikatoko_tpu.world.runner import gt_poses_in_tracker_frame
 
 
 def build_device_scenario(capacity=32, dtype=jnp.float64):
-    wb = scene_gen.WorldBounds(0.0, 0.9, 0.0, 0.9, 0.0, 0.9001)
-    cell = 0.3
-    points_world = np.asarray(scene_gen.generate_grid_points(
-        wb, (cell, cell, cell), 0.2))
-    center = points_world.mean(axis=0)
-    gt_cfw_world = scene_gen.oscillate_right_and_left(
-        center + np.array([0, -2.0, 0]), center, (0, 0, 1),
-        max_deviation=0.6, periods_count=2, shots_per_period=160,
-        const_view_dir=True)
-    gt_cfw = gt_poses_in_tracker_frame(gt_cfw_world)
-    tfw = SE3(gt_cfw_world.R[0], gt_cfw_world.t[0])
-    pts = points_world @ np.asarray(tfw.R).T + np.asarray(tfw.t)
-    # pad/crop points to capacity
-    n = len(pts)
-    if n < capacity:
-        pts = np.concatenate([pts] * (capacity // n + 1))[:capacity]
-        pts = pts + np.random.default_rng(0).normal(scale=0.02, size=pts.shape)
-    else:
-        pts = pts[:capacity]
-    sc = DeviceScenario(
-        gt_cfw_R=jnp.asarray(np.asarray(gt_cfw.R), dtype),
-        gt_cfw_t=jnp.asarray(np.asarray(gt_cfw.t), dtype),
-        gt_points=jnp.asarray(pts, dtype),
-        image_size=jnp.asarray([320.0, 240.0], dtype),
-        noise_std=jnp.asarray(0.5, dtype))
-    return sc
+    from surikatoko_tpu.world.device_runner import build_oscillating_scenario
+    return build_oscillating_scenario(capacity=capacity, dtype=dtype)
 
 
 def test_scan_runner_tracks():
