@@ -139,3 +139,59 @@ class ImageTemplCornersMatcher:
 
     def sync_removed(self, state: MonoSlamState) -> None:
         self.templ_valid &= np.asarray(state.lm_active)
+
+
+class KltCornersMatcher(ImageTemplCornersMatcher):
+    """Optical-flow tracking variant: each landmark's last observed corner is
+    tracked previous-frame -> current-frame with pyramidal Lucas-Kanade
+    (vision/klt.py) and gated by the predicted projected-uncertainty ellipse
+    (Mahalanobis chi-square on the innovation).
+
+    This is the prototype's pipeline (py_proto/suriko/mvg.py:3331 —
+    cv2.calcOpticalFlowPyrLK + consistency filters) brought into the same
+    CornersMatcherBase seam as the NCC matcher; recruitment/template
+    bookkeeping is inherited (templates are kept only as slot-occupancy
+    markers and for optional jump checks)."""
+
+    def __init__(self, tracker: MonoSlamFilter, *,
+                 klt_levels: int = 3, klt_win: int = 7, klt_iters: int = 10,
+                 ellipse_confidence: float = 0.95, **kwargs):
+        super().__init__(tracker, ellipse_confidence=ellipse_confidence,
+                         **kwargs)
+        self.klt_levels = klt_levels
+        self.klt_win = klt_win
+        self.klt_iters = klt_iters
+        self._chi2 = float(ell_mod.chi_square_quantile_2dof(ellipse_confidence))
+        self._prev_image = None
+
+    def analyze_frame(self, image_gray: np.ndarray) -> None:
+        self._prev_image = self._image
+        self._image = jnp.asarray(image_gray, jnp.float32)
+
+    def match_salient_points(self, state: MonoSlamState, frame_ind: int
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        from surikatoko_tpu.vision import klt
+
+        K = self.tracker.capacity
+        if (self.suppress_observations or self._image is None
+                or self._prev_image is None):
+            return jnp.zeros((K, 2)), jnp.zeros(K, bool)
+
+        active = jnp.asarray(self.templ_valid) & jnp.asarray(
+            np.asarray(state.lm_active))
+        res = klt.track_points(
+            self._prev_image, self._image,
+            jnp.asarray(self.last_center, jnp.float32), active,
+            levels=self.klt_levels, win=self.klt_win, iters=self.klt_iters)
+        self.executed_match_templ_calls += int(np.sum(np.asarray(active)))
+
+        # innovation gate against the predicted projection uncertainty
+        centers, cov2 = self.tracker.predicted_pixel_uncertainty(state)
+        sigma_inv = jnp.linalg.inv(cov2 + 1e-9 * jnp.eye(2, dtype=cov2.dtype))
+        innov = res.points - centers.astype(res.points.dtype)
+        maha = jnp.einsum("ki,kij,kj->k", innov,
+                          sigma_inv.astype(res.points.dtype), innov)
+        matched = np.asarray(res.status & active & (maha < self._chi2))
+        best = np.asarray(res.points)
+        self.last_center[matched] = best[matched]
+        return jnp.asarray(np.where(matched[:, None], best, 0.0)), jnp.asarray(matched)

@@ -9,7 +9,8 @@ import pytest
 from surikatoko_tpu.geom import camera
 from surikatoko_tpu.geom.se3 import SE3
 from surikatoko_tpu.models.monoslam import MonoSlamFilter, make_params
-from surikatoko_tpu.vision.matcher import ImageTemplCornersMatcher
+from surikatoko_tpu.vision.matcher import (
+    ImageTemplCornersMatcher, KltCornersMatcher)
 from surikatoko_tpu.world import scene_gen
 from surikatoko_tpu.world.runner import (
     gt_poses_in_tracker_frame, run_image_sequence)
@@ -75,5 +76,47 @@ def test_imageseq_closed_loop():
         pos_err.append(np.linalg.norm(np.asarray(s.cam_state[:3]) - gt_pos))
     # monocular scale is only weakly observable from blob init; require
     # bounded drift rather than metric accuracy
+    assert np.max(pos_err) < 0.5, np.max(pos_err)
+    assert np.all(np.isfinite(np.asarray(state.x)))
+
+
+@pytest.mark.slow
+def test_imageseq_closed_loop_klt_matcher():
+    """Same rendered scenario through the KLT (pyramidal LK) matcher seam."""
+    wb = scene_gen.WorldBounds(0.0, 0.6, 0.0, 0.6, 0.0, 0.6001)
+    points_world = np.asarray(scene_gen.generate_grid_points(wb, (0.5, 0.5, 0.5), 0.2))
+    center = np.array([0.3, 0.3, 0.3])
+    gt_cfw_world = scene_gen.oscillate_right_and_left(
+        center + np.array([0, -1.5, 0]), center, (0, 0, 1),
+        max_deviation=0.3, periods_count=1, shots_per_period=120,
+        const_view_dir=True)
+    gt_cfw = gt_poses_in_tracker_frame(gt_cfw_world)
+    tfw = SE3(gt_cfw_world.R[0], gt_cfw_world.t[0])
+    pts = np.asarray(points_world @ np.asarray(tfw.R).T + np.asarray(tfw.t))
+
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95, (0.01, 0.01))
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.02,
+                         process_noise_ang_veloc_std=0.005,
+                         measurm_noise_std_pix=1.0,
+                         sal_pnt_init_inv_dist=0.6,
+                         sal_pnt_init_inv_dist_std=0.6)
+    tracker = MonoSlamFilter(params, capacity=24, update_impl=1)
+    matcher = KltCornersMatcher(
+        tracker, templ_width=15, detector_max_corners=24,
+        min_distance_new_to_tracked=15.0, klt_levels=2, klt_win=6)
+
+    n_frames = 30
+    images = [render_world(pts, gt_cfw, cam, f) for f in range(n_frames)]
+    state, stats = run_image_sequence(tracker, matcher, images)
+
+    assert int(stats[0].new_count) >= 5
+    matched_late = [int(s.obs_count) for s in stats[10:]]
+    assert np.mean(matched_late) >= 4, matched_late
+    pos_err = []
+    for f, s in enumerate(stats):
+        cfw_f = SE3(gt_cfw.R[f], gt_cfw.t[f])
+        gt_pos = np.asarray(cfw_f.inv().t)
+        pos_err.append(np.linalg.norm(np.asarray(s.cam_state[:3]) - gt_pos))
     assert np.max(pos_err) < 0.5, np.max(pos_err)
     assert np.all(np.isfinite(np.asarray(state.x)))
