@@ -7,7 +7,12 @@ IntegrateNewFrameCorners with BA triggering. fake_localization/fake_mapping
 switches mirror the reference flags.
 
 Usage: python demos/demo_multi_view_factorization.py [--frames 12]
-    [--fake_localization] [--fake_mapping]
+    [--fake_localization] [--fake_mapping] [--noise_pix 0] [--loop_closure]
+
+--loop_closure adds GT-measured relative-pose edges (last frame vs the two
+bootstrap frames) and runs SE(3) pose-graph optimization + map
+re-triangulation + fixed-keyframe BA (closure frames pinned) after the
+sequence — the drift-correction path the reference lacks.
 """
 
 from __future__ import annotations
@@ -25,6 +30,11 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--fake_localization", action="store_true")
     ap.add_argument("--fake_mapping", action="store_true")
+    ap.add_argument("--noise_pix", type=float, default=0.0,
+                    help="detection noise std (pixels)")
+    ap.add_argument("--loop_closure", action="store_true",
+                    help="pose-graph loop closure after the sequence")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -56,12 +66,16 @@ def main() -> int:
         gt_point_fun=lambda tid: points[tid],
     )
 
+    rng = np.random.default_rng(args.seed)
+
     def write_frame_corners(f):
         R, t = np.asarray(gt_cfw.R[f]), np.asarray(gt_cfw.t[f])
         xc = points @ R.T + t
         vis = xc[:, 2] > 1e-6
         ph = xc @ K.T
         pix = ph[:, :2] / ph[:, 2:3]
+        if args.noise_pix:
+            pix = pix + rng.normal(scale=args.noise_pix, size=pix.shape)
         vis &= (pix[:, 0] >= 0) & (pix[:, 0] < img_w) & (pix[:, 1] >= 0) & (pix[:, 1] < img_h)
         for tid in np.nonzero(vis)[0]:
             ts.add_corner(int(tid), f, pix[tid], K_inv)
@@ -79,6 +93,23 @@ def main() -> int:
         err = mvf._reproj_error()
         print(f"f={f} integrated={ok} points={len(mvf.point_coords)} "
               f"reproj_err={err:.3e} ba_runs={mvf.ba_runs}")
+
+    if args.loop_closure:
+        closures = []
+        for j in (0, 1):
+            i = n_frames - 1
+            Ri, ti = np.asarray(gt_cfw.R[i]), np.asarray(gt_cfw.t[i])
+            Rj, tj = np.asarray(gt_cfw.R[j]), np.asarray(gt_cfw.t[j])
+            rel_R = Rj @ Ri.T
+            closures.append((i, j, SE3(rel_R, tj - rel_R @ ti), 3.0))
+        end_before = float(np.linalg.norm(
+            -(mvf.cam_cfw_R[-1].T @ mvf.cam_cfw_t[-1])
+            - np.asarray(SE3(gt_cfw.R[n_frames - 1], gt_cfw.t[n_frames - 1]).inv().t)))
+        mvf.apply_pose_graph(closures, run_ba=True)  # BA with pinned closures
+        end_after = float(np.linalg.norm(
+            -(mvf.cam_cfw_R[-1].T @ mvf.cam_cfw_t[-1])
+            - np.asarray(SE3(gt_cfw.R[n_frames - 1], gt_cfw.t[n_frames - 1]).inv().t)))
+        print(f"loop closure: endpoint err {end_before:.4f} -> {end_after:.4f}")
 
     dt = time.time() - t0
     # final accuracy

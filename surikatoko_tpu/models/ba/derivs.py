@@ -42,14 +42,19 @@ class GNBlocks(NamedTuple):
 
 
 def frame_var_mask(n_frames: int, unity_comp_ind: int = 1,
-                   optimize_intrinsics: bool = True) -> jnp.ndarray:
+                   optimize_intrinsics: bool = True,
+                   pin_frames: tuple = ()) -> jnp.ndarray:
     """[F,10] bool mask of FREE frame variables under the normalization gauge:
     frame 0 keeps only intrinsics; frame 1 loses T[unity_comp]; others free.
     With ``optimize_intrinsics=False`` (the MVF shared-calibrated-K case) the
-    four intrinsic vars are pinned for every frame."""
+    four intrinsic vars are pinned for every frame. ``pin_frames`` holds
+    additional frames whose pose (T, W) is frozen — fixed-keyframe BA, used
+    e.g. to keep pose-graph loop-closure corrections from relaxing away."""
     mask = jnp.ones((n_frames, FRAME_VARS), bool)
     mask = mask.at[0, 4:].set(False)
     mask = mask.at[1, 4 + unity_comp_ind].set(False)
+    for f in pin_frames:
+        mask = mask.at[int(f), 4:].set(False)
     if not optimize_intrinsics:
         mask = mask.at[:, :4].set(False)
     return mask
@@ -95,11 +100,13 @@ def _jacobians(p: BAProblem):
 
 def compute_blocks(p: BAProblem, unity_comp_ind: int = 1,
                    fix_gauge: bool = True,
-                   optimize_intrinsics: bool = True) -> GNBlocks:
+                   optimize_intrinsics: bool = True,
+                   pin_frames: tuple = ()) -> GNBlocks:
     r, Jp, Jf = _jacobians(p)
     if fix_gauge:
         fmask = frame_var_mask(p.n_frames, unity_comp_ind,
-                               optimize_intrinsics).astype(p.points.dtype)
+                               optimize_intrinsics,
+                               pin_frames).astype(p.points.dtype)
         Jf = Jf * fmask[None, :, None, :]
 
     E = jnp.einsum("ifca,ifcb->iab", Jp, Jp)

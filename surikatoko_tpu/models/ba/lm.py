@@ -40,16 +40,18 @@ class BundleAdjustment:
     unity_comp_ind: int = 1
     t1y: float = 1.0
     optimize_intrinsics: bool = True
+    pin_frames: tuple = ()      # fixed-keyframe BA: these poses never move
     stop_reason: str = field(default="", init=False)
     iterations: int = field(default=0, init=False)
 
     def __post_init__(self):
+        pins = tuple(int(f) for f in self.pin_frames)
         self._compute_blocks = jax.jit(functools.partial(
             derivs.compute_blocks, unity_comp_ind=self.unity_comp_ind,
-            optimize_intrinsics=self.optimize_intrinsics))
+            optimize_intrinsics=self.optimize_intrinsics, pin_frames=pins))
         self._solve = jax.jit(functools.partial(
             schur.solve_corrections_schur, unity_comp_ind=self.unity_comp_ind,
-            optimize_intrinsics=self.optimize_intrinsics))
+            optimize_intrinsics=self.optimize_intrinsics, pin_frames=pins))
         self._apply = jax.jit(derivs.apply_corrections)
         self._err = jax.jit(reproj_error)
 

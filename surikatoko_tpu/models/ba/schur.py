@@ -39,13 +39,14 @@ def _fixed_var_identity(G: jnp.ndarray, fmask: jnp.ndarray) -> jnp.ndarray:
 
 def solve_corrections_schur(blocks: GNBlocks, hessian_factor,
                             unity_comp_ind: int = 1,
-                            optimize_intrinsics: bool = True
+                            optimize_intrinsics: bool = True,
+                            pin_frames: tuple = ()
                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-phase solve. Returns (dX, du, ok) where ok=False if the reduced
     system was numerically singular."""
     Np, F = blocks.Fpf.shape[0], blocks.Fpf.shape[1]
     dtype = blocks.E.dtype
-    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics)
+    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics, pin_frames)
 
     E = _damp(blocks.E, hessian_factor)                       # [Np,3,3]
     G = _damp(blocks.G, hessian_factor)                       # [F,10,10]
@@ -79,7 +80,8 @@ def solve_corrections_schur(blocks: GNBlocks, hessian_factor,
 
 def solve_corrections_naive(blocks: GNBlocks, hessian_factor,
                             unity_comp_ind: int = 1,
-                            optimize_intrinsics: bool = True
+                            optimize_intrinsics: bool = True,
+                            pin_frames: tuple = ()
                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Assemble the full dense Hessian and solve — the reference
     EstimateCorrectionsNaive (:1700), kept as the numeric cross-check."""
@@ -87,7 +89,7 @@ def solve_corrections_naive(blocks: GNBlocks, hessian_factor,
     dtype = blocks.E.dtype
     n_p = Np * 3
     n_f = F * FRAME_VARS
-    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics)
+    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics, pin_frames)
 
     E = _damp(blocks.E, hessian_factor)
     G = _fixed_var_identity(_damp(blocks.G, hessian_factor), fmask)

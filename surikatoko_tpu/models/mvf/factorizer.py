@@ -157,31 +157,37 @@ class MultiViewFactorizer:
             self._run_ba()
         return True
 
+    def _triangulate_track(self, tid: int, upto_frame: int) -> Optional[np.ndarray]:
+        """MASKS-8.44 depth of one track from all its observations up to (and
+        including) `upto_frame`, under the current camera poses."""
+        ts = self.track_store
+        frames = np.nonzero(ts.mask[tid, : upto_frame + 1])[0]
+        if len(frames) <= 1:
+            return None
+        base = int(frames[0])
+        others = frames[1:]
+        Rb, tb = self.cam_cfw_R[base], self.cam_cfw_t[base]
+        R_fb = np.stack([self.cam_cfw_R[f] @ Rb.T for f in others])
+        T_fb = np.stack([
+            self.cam_cfw_t[f] - R_fb[i] @ tb for i, f in enumerate(others)])
+        depth = float(rm.estimate_point_depth(
+            jnp.asarray(ts.coords[tid, base]),
+            jnp.asarray(ts.coords[tid, others]),
+            jnp.asarray(R_fb), jnp.asarray(T_fb),
+            jnp.ones(len(others), bool)))
+        if not np.isfinite(depth) or depth <= 0:
+            return None
+        x_base = ts.coords[tid, base] * depth
+        return Rb.T @ (x_base - tb)
+
     def _reconstruct_new_tracks(self, new_frame: int) -> None:
         ts = self.track_store
         for tid in ts.tracks_in_frame(new_frame):
             if tid in self.point_coords:
                 continue
-            frames = np.nonzero(ts.mask[tid, : new_frame + 1])[0]
-            if len(frames) <= 1:
+            x_world = self._triangulate_track(int(tid), new_frame)
+            if x_world is None:
                 continue
-            base = int(frames[0])
-            others = frames[1:]
-            Rb, tb = self.cam_cfw_R[base], self.cam_cfw_t[base]
-            R_fb = np.stack([
-                self.cam_cfw_R[f] @ Rb.T for f in others])
-            T_fb = np.stack([
-                self.cam_cfw_t[f] - R_fb[i] @ tb
-                for i, f in enumerate(others)])
-            depth = float(rm.estimate_point_depth(
-                jnp.asarray(ts.coords[tid, base]),
-                jnp.asarray(ts.coords[tid, others]),
-                jnp.asarray(R_fb), jnp.asarray(T_fb),
-                jnp.ones(len(others), bool)))
-            if not np.isfinite(depth) or depth <= 0:
-                continue
-            x_base = ts.coords[tid, base] * depth
-            x_world = Rb.T @ (x_base - tb)
             if self.fake_mapping and self.gt_point_fun is not None:
                 x_world = np.asarray(self.gt_point_fun(int(tid)))
             self.point_coords[int(tid)] = x_world
@@ -203,9 +209,84 @@ class MultiViewFactorizer:
         _, p = self._ba_problem()
         return float(reproj_error(p))
 
-    def _run_ba(self) -> None:
+    # ---- pose-graph loop closure (north-star addition; the reference's MVF
+    # only chains odometry and re-runs BA, multi-view-factorization.cpp:255) --
+    def measure_relative_pose(self, i: int, j: int, min_common: int = 6
+                              ) -> tuple[Optional[SE3], int]:
+        """Independent measurement of the camera-j-from-camera-i transform
+        from tracks seen in both frames (depths from the reconstructed map in
+        frame i) — the same SVD-12 solver used for odometry, applied to a
+        non-adjacent candidate loop pair. Returns (rel, #common) with rel
+        None when support is too thin."""
+        ts = self.track_store
+        both = ts.mask[: ts.n_tracks, i] & ts.mask[: ts.n_tracks, j]
+        common = [t for t in np.nonzero(both)[0] if int(t) in self.point_coords]
+        if len(common) < min_common:
+            return None, len(common)
+        Ri, ti = self.cam_cfw_R[i], self.cam_cfw_t[i]
+        pts = np.stack([self.point_coords[int(t)] for t in common])
+        depths = (pts @ Ri.T + ti)[:, 2]
+        rel, ok = rm.find_relative_motion_multi_points(
+            jnp.asarray(ts.coords[common, i]), jnp.asarray(ts.coords[common, j]),
+            jnp.asarray(depths), jnp.ones(len(common), bool))
+        if not bool(ok):
+            return None, len(common)
+        return SE3(np.asarray(rel.R), np.asarray(rel.t)), len(common)
+
+    def apply_pose_graph(self, loop_closures, *, odometry_weight: float = 1.0,
+                         iters: int = 20, run_ba: bool = False) -> None:
+        """Correct accumulated drift with SE(3) pose-graph optimization
+        (models/posegraph.py): odometry edges from the current consecutive
+        relative poses, plus `loop_closures` = [(i, j, rel_cj_from_ci: SE3,
+        weight)]. The map is re-triangulated from the corrected poses — that
+        is the least-squares structure-only refit, so the correction sticks.
+
+        `run_ba=True` re-runs bundle adjustment afterwards with the closure
+        frames PINNED (fixed-keyframe BA). Reprojection error alone is blind
+        to a pose-graph-only closure — unconstrained BA would relax the poses
+        back toward the drifted odometry optimum — so the frames that carry
+        closure information are frozen while the rest re-polish against the
+        observations."""
+        from surikatoko_tpu.models.posegraph import (
+            make_pose_graph, optimize_pose_graph)
+
+        n = self.frames_count()
+        # world-from-camera poses (the pose-graph's T)
+        R_w = np.stack([R.T for R in self.cam_cfw_R])
+        t_w = np.stack([-R.T @ t for R, t in zip(self.cam_cfw_R, self.cam_cfw_t)])
+
+        edges = []
+        for k in range(n - 1):
+            rel_R = R_w[k].T @ R_w[k + 1]
+            rel_t = R_w[k].T @ (t_w[k + 1] - t_w[k])
+            edges.append((k, k + 1, rel_R, rel_t, odometry_weight))
+        for (i, j, rel, w) in loop_closures:
+            # rel maps cam-i coords to cam-j coords; T_i^-1 T_j = rel^-1
+            Zr = np.asarray(rel.R).T
+            edges.append((i, j, Zr, -Zr @ np.asarray(rel.t), w))
+
+        g = make_pose_graph(R_w, t_w, edges)
+        g = optimize_pose_graph(g, iters=iters)
+        R_w = np.asarray(g.R)
+        t_w = np.asarray(g.t)
+        for f in range(n):
+            self.cam_cfw_R[f] = R_w[f].T
+            self.cam_cfw_t[f] = -R_w[f].T @ t_w[f]
+
+        # re-triangulate the whole map under the corrected poses
+        for tid in list(self.point_coords):
+            x_world = self._triangulate_track(int(tid), n - 1)
+            if x_world is not None:
+                self.point_coords[tid] = x_world
+
+        if run_ba:
+            pins = sorted({int(i) for (i, j, _, _) in loop_closures}
+                          | {int(j) for (i, j, _, _) in loop_closures})
+            self._run_ba(pin_frames=tuple(pins))
+
+    def _run_ba(self, pin_frames: tuple = ()) -> None:
         tids, p = self._ba_problem()
-        ba = BundleAdjustment(optimize_intrinsics=False)
+        ba = BundleAdjustment(optimize_intrinsics=False, pin_frames=pin_frames)
         ok, p_opt = ba.compute_inplace(
             p, TermCriteria(allowed_reproj_err_rel_change=self.ba_term_rel_change))
         self.ba_runs += 1

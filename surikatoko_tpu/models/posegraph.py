@@ -80,13 +80,20 @@ def graph_error(g: PoseGraph) -> jnp.ndarray:
 
 
 def optimize_pose_graph(g: PoseGraph, iters: int = 20,
-                        damping: float = 1e-6) -> PoseGraph:
-    """Gauss-Newton over all poses; pose 0 pinned (gauge)."""
+                        damping: float = 1e-6,
+                        max_damping: float = 1e8) -> PoseGraph:
+    """Levenberg-Marquardt over all poses; pose 0 pinned (gauge).
+
+    Adaptive damping with the framework's x10/÷10 schedule (the BA loop's,
+    reference bundle-adj-kanatani.cpp:841,:889): a rejected step raises
+    lambda and retries from the same linearization, so far-from-linear
+    initializations (large loop-closure residuals) converge instead of
+    stalling on the first overshoot."""
     N = g.R.shape[0]
     dtype = g.t.dtype
 
     @jax.jit
-    def gn_step(g: PoseGraph) -> PoseGraph:
+    def lm_step(g: PoseGraph, lam: jnp.ndarray) -> PoseGraph:
         z = jnp.zeros((N, 3), dtype)
 
         def res_flat(dw, dt):
@@ -100,7 +107,7 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 20,
         free = jnp.ones((2 * 3 * N,), dtype)
         free = free.at[0:3].set(0.0).at[3 * N:3 * N + 3].set(0.0)
         J = J * free[None, :]
-        H = J.T @ J + (damping + 1e-12) * jnp.eye(6 * N, dtype=dtype)
+        H = J.T @ J + (lam + 1e-12) * jnp.eye(6 * N, dtype=dtype)
         # unit diagonal on pinned vars
         pin = 1.0 - free
         H = H + jnp.diag(pin)
@@ -110,10 +117,16 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 20,
         R_new = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, g.R)
         return g._replace(R=R_new, t=g.t + dt)
 
+    lam = damping
+    err = float(graph_error(g))
     for _ in range(iters):
-        g_try = gn_step(g)
-        if float(graph_error(g_try)) < float(graph_error(g)):
-            g = g_try
+        g_try = lm_step(g, jnp.asarray(lam, dtype))
+        err_try = float(graph_error(g_try))
+        if err_try < err:
+            g, err = g_try, err_try
+            lam = max(lam / 10.0, damping)
         else:
-            break
+            lam *= 10.0
+            if lam > max_damping:
+                break
     return g

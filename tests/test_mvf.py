@@ -138,3 +138,89 @@ def test_mvf_fake_switches():
                                 ba_trigger_reproj_err=1e12)
     for tid, xyz in mvf.point_coords.items():
         np.testing.assert_allclose(xyz, points[tid], atol=1e-9)
+
+
+@pytest.mark.slow
+def test_mvf_pose_graph_loop_closure():
+    """BA keeps the map locally consistent but cannot observe global drift
+    (gauge anchored only by the two bootstrap frames); a loop-closure edge
+    through the pose graph corrects it. Closure measurements come from GT
+    relative poses — the stand-in for a reliable loop detector."""
+    mvf, points, gt_cfw, n_frames = run_mvf(frames=12, noise_pix=1.5, seed=5)
+
+    gt_pos = np.stack([
+        -np.asarray(gt_cfw.R[f]).T @ np.asarray(gt_cfw.t[f])
+        for f in range(n_frames)])
+    est_pos = np.stack([-R.T @ t for R, t in zip(mvf.cam_cfw_R, mvf.cam_cfw_t)])
+    perr = np.linalg.norm(est_pos - gt_pos, axis=1)
+    drift_before = float(np.sqrt(np.mean(perr ** 2)))
+    end_before = float(perr[-1])
+    assert end_before > 0.1, end_before    # there IS drift to correct
+
+    closures = []
+    for j in (0, 1):
+        i = n_frames - 1
+        Ri, ti = np.asarray(gt_cfw.R[i]), np.asarray(gt_cfw.t[i])
+        Rj, tj = np.asarray(gt_cfw.R[j]), np.asarray(gt_cfw.t[j])
+        rel_R = Rj @ Ri.T
+        closures.append((i, j, SE3(rel_R, tj - rel_R @ ti), 3.0))
+    # run_ba=True re-polishes with the closure frames PINNED: unconstrained
+    # BA would relax the poses back to the drifted odometry optimum
+    # (reprojection alone cannot see a pose-graph-only closure)
+    mvf.apply_pose_graph(closures, run_ba=True)
+
+    est_pos2 = np.stack([-R.T @ t for R, t in zip(mvf.cam_cfw_R, mvf.cam_cfw_t)])
+    perr2 = np.linalg.norm(est_pos2 - gt_pos, axis=1)
+    drift_after = float(np.sqrt(np.mean(perr2 ** 2)))
+    end_after = float(perr2[-1])
+    assert end_after < 0.2 * end_before, (end_before, end_after)
+    assert drift_after < 0.5 * drift_before, (drift_before, drift_after)
+    # rotations stay orthonormal after the correction
+    for R in mvf.cam_cfw_R:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+
+
+def test_ba_pinned_frames_stay_fixed(rng):
+    """Fixed-keyframe BA: pinned poses don't move while the rest optimize."""
+    from surikatoko_tpu.models.ba import BundleAdjustment, TermCriteria
+    from surikatoko_tpu.models.ba.problem import make_problem, reproj_error
+
+    points, gt_cfw = make_world(frames=8)
+    n_f = 6
+    pix = np.zeros((len(points), n_f, 2))
+    mask = np.zeros((len(points), n_f), bool)
+    for f in range(n_f):
+        p, v = project(points, gt_cfw, f, 0.5, rng)
+        pix[:, f] = p
+        mask[:, f] = v
+    # corrupt the points and middle poses
+    pts0 = points + rng.normal(scale=0.05, size=points.shape)
+    R = np.stack([np.asarray(gt_cfw.R[f]) for f in range(n_f)])
+    t = np.stack([np.asarray(gt_cfw.t[f]) for f in range(n_f)])
+    from surikatoko_tpu.geom import so3
+    for f in range(2, n_f - 1):        # frames 0,1 = gauge; last will be pinned
+        R[f] = np.asarray(so3.exp(jnp.asarray(rng.normal(scale=0.01, size=3)))) @ R[f]
+        t[f] = t[f] + rng.normal(scale=0.03, size=3)
+    p = make_problem(pts0, SE3(jnp.asarray(R), jnp.asarray(t)), K, pix, mask, f0=1.0)
+
+    last = n_f - 1
+    ba = BundleAdjustment(optimize_intrinsics=False, pin_frames=(last,))
+    err0 = float(reproj_error(p))
+    ok, p_opt = ba.compute_inplace(
+        p, TermCriteria(allowed_reproj_err_rel_change=1e-8))
+    err1 = float(reproj_error(p_opt))
+    assert err1 < 0.2 * err0, (err0, err1)
+    # pinned frame exactly unchanged; corrupted frames moved
+    np.testing.assert_allclose(np.asarray(p_opt.cfw_R[last]), R[last], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_opt.cfw_t[last]), t[last], atol=1e-9)
+    assert np.abs(np.asarray(p_opt.cfw_t[3]) - t[3]).max() > 1e-4
+
+
+def test_mvf_measure_relative_pose_matches_gt():
+    mvf, points, gt_cfw, n_frames = run_mvf(frames=10, noise_pix=0.0)
+    rel, n_common = mvf.measure_relative_pose(2, 7)
+    assert rel is not None and n_common >= 6
+    Ri, ti = np.asarray(gt_cfw.R[2]), np.asarray(gt_cfw.t[2])
+    Rj, tj = np.asarray(gt_cfw.R[7]), np.asarray(gt_cfw.t[7])
+    np.testing.assert_allclose(rel.R, Rj @ Ri.T, atol=1e-6)
+    np.testing.assert_allclose(rel.t, tj - (Rj @ Ri.T) @ ti, atol=1e-6)
