@@ -124,6 +124,7 @@ class SparseBundleAdjustment:
     optimize_intrinsics: bool = True
     point_chunk: int = 512
     mesh: object = None          # jax.sharding.Mesh -> distributed solve
+    pin_frames: tuple = ()       # fixed-keyframe BA
     stop_reason: str = field(default="", init=False)
     iterations: int = field(default=0, init=False)
 
@@ -134,7 +135,8 @@ class SparseBundleAdjustment:
         self._err = jax.jit(sp.reproj_error)
         self._blocks = jax.jit(functools.partial(
             sp.compute_blocks, unity_comp_ind=self.unity_comp_ind,
-            optimize_intrinsics=self.optimize_intrinsics))
+            optimize_intrinsics=self.optimize_intrinsics,
+            pin_frames=tuple(int(f) for f in self.pin_frames)))
         self._apply = jax.jit(sp.apply_corrections)
         self._solver = None
 
@@ -147,11 +149,12 @@ class SparseBundleAdjustment:
                 self._solver = make_sharded_sparse_schur_solver(
                     p.n_points, p.n_frames, p.track_len, self.mesh,
                     self.unity_comp_ind, self.optimize_intrinsics,
-                    self.point_chunk)
+                    self.point_chunk,
+                    tuple(int(f) for f in self.pin_frames))
             return self._solver(p, blocks, factor)
         return self._sp.solve_corrections_schur_sparse(
             p, blocks, factor, self.unity_comp_ind, self.optimize_intrinsics,
-            self.point_chunk)
+            self.point_chunk, tuple(int(f) for f in self.pin_frames))
 
     def compute(self, p, term_crit: TermCriteria | None = None):
         term_crit = term_crit or TermCriteria()

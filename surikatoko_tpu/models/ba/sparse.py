@@ -96,6 +96,7 @@ def reproj_error(p: BAProblemSparse) -> jnp.ndarray:
 
 
 def compute_blocks(p: BAProblemSparse, unity_comp_ind: int = 1,
+                   pin_frames: tuple = (),
                    optimize_intrinsics: bool = True) -> SparseBlocks:
     dtype = p.points.dtype
     F = p.n_frames
@@ -117,7 +118,8 @@ def compute_blocks(p: BAProblemSparse, unity_comp_ind: int = 1,
     r = r * m
     Jp = Jp * m[..., None]
     Jf = Jf * m[..., None]
-    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics).astype(dtype)
+    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics,
+                           pin_frames).astype(dtype)
     Jf = Jf * fmask[p.frame_idx][:, :, None, :]
 
     E = jnp.einsum("ilca,ilcb->iab", Jp, Jp)
@@ -141,13 +143,13 @@ def compute_blocks(p: BAProblemSparse, unity_comp_ind: int = 1,
 def solve_corrections_schur_sparse(
     p: BAProblemSparse, blocks: SparseBlocks, hessian_factor,
     unity_comp_ind: int = 1, optimize_intrinsics: bool = True,
-    point_chunk: int = 512,
+    point_chunk: int = 512, pin_frames: tuple = (),
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-phase Schur solve with scatter-add reduction over point chunks."""
     Np, L = blocks.Fpf.shape[0], blocks.Fpf.shape[1]
     F = p.n_frames
     dtype = blocks.E.dtype
-    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics)
+    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics, pin_frames)
 
     E = _damp(blocks.E, hessian_factor)
     G = _fixed_var_identity(_damp(blocks.G, hessian_factor), fmask)

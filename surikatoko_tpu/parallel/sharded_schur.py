@@ -87,7 +87,8 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
                                      track_len: int, mesh: Mesh,
                                      unity_comp_ind: int = 1,
                                      optimize_intrinsics: bool = True,
-                                     point_chunk: int = 512):
+                                     point_chunk: int = 512,
+                                     pin_frames: tuple = ()):
     """Distributed sparse Schur solve: point shards each scatter-add their
     partial reduced system, one psum of [F,10,F,10] + rhs, replicated
     preconditioned solve, local back-substitution. The at-scale (10k x 500)
@@ -108,7 +109,7 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
 
     def kernel(E, Fpf, gp, fidx, G, gf, hessian_factor):
         dtype = E.dtype
-        fmask = _fvm(F, unity_comp_ind, optimize_intrinsics)
+        fmask = _fvm(F, unity_comp_ind, optimize_intrinsics, pin_frames)
         E_d = _damp(E, hessian_factor)
         G_d = _fixed_var_identity(_damp(G, hessian_factor), fmask)
         Einv = jnp.linalg.inv(E_d)

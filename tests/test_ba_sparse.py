@@ -142,3 +142,20 @@ def _padded_problem_for_mesh(problems):
             obs_mask=jnp.concatenate([ps.obs_mask, jnp.zeros((pad, ps.track_len), bool)]),
         )
     return ps
+
+
+def test_sparse_pinned_frame_parity_with_dense(problems):
+    """pin_frames produces identical corrections in the sparse and dense
+    solvers, and exactly zero pose correction for the pinned frame."""
+    pd, ps = problems
+    pin = (2,)
+    bd = derivs.compute_blocks(pd, pin_frames=pin)
+    bs = sparse.compute_blocks(ps, pin_frames=pin)
+    dX_d, du_d, ok_d = schur.solve_corrections_schur(bd, 1e-4, pin_frames=pin)
+    dX_s, du_s, ok_s = sparse.solve_corrections_schur_sparse(
+        ps, bs, 1e-4, point_chunk=16, pin_frames=pin)
+    assert bool(ok_d) and bool(ok_s)
+    np.testing.assert_allclose(np.asarray(du_d[2, 4:]), 0.0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(du_s[2, 4:]), 0.0, atol=1e-14)
+    np.testing.assert_allclose(du_s, du_d, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(dX_s, dX_d, rtol=1e-7, atol=1e-10)
