@@ -77,3 +77,32 @@ def test_posegraph_exact_input_is_fixed_point():
     assert float(graph_error(g)) < 1e-20
     g2 = optimize_pose_graph(g, iters=3)
     np.testing.assert_allclose(g2.t, t_gt, atol=1e-8)
+
+
+def test_posegraph_converges_from_far_initialization():
+    """Regression for the LM damping schedule: a loop-closure residual far
+    outside the linear regime (endpoint ~90deg + units away) must still
+    converge — plain GN overshoots on the first step and would stall."""
+    n = 10
+    R_gt, t_gt = circle_poses(n, radius=3.0)
+    edges = []
+    for k in range(1, n):
+        rR, rt = rel(R_gt[k - 1], t_gt[k - 1], R_gt[k], t_gt[k])
+        edges.append((k - 1, k, rR, rt, 1.0))
+    rR, rt = rel(R_gt[n - 1], t_gt[n - 1], R_gt[0], t_gt[0])
+    edges.append((n - 1, 0, rR, rt, 5.0))
+
+    # initialization: poses badly wrong (rotated ~90deg, shifted)
+    Rs = [R_gt[0]]
+    ts = [t_gt[0]]
+    for k in range(1, n):
+        off = np.asarray(so3.exp(jnp.asarray([0.0, 0.0, 0.15 * k])))
+        Rs.append(off @ R_gt[k])
+        ts.append(t_gt[k] + np.array([0.3 * k, -0.2 * k, 0.1 * k]))
+    g = make_pose_graph(np.stack(Rs), np.stack(ts), edges)
+    err0 = float(graph_error(g))
+    assert err0 > 10.0, err0
+    g2 = optimize_pose_graph(g, iters=40)
+    err1 = float(graph_error(g2))
+    assert err1 < 1e-6 * err0, (err0, err1)
+    np.testing.assert_allclose(np.asarray(g2.t), t_gt, atol=1e-4)
