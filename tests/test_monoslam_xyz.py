@@ -6,6 +6,7 @@ params.sal_pnt_repres switch."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from surikatoko_tpu.geom import camera
 from surikatoko_tpu.geom.se3 import SE3
@@ -109,3 +110,36 @@ def test_xyz_closed_loop_tracks():
                        for f in range(1, 61)])
     err = np.linalg.norm(np.asarray(cam_pos) - gt_pos, axis=1)
     assert err.max() < 0.5, err.max()
+
+
+@pytest.mark.parametrize("impl", [2, 4])
+def test_xyz_other_update_impls_track(impl):
+    """XYZ representation through the sequential (2) and 1-pt RANSAC (4)
+    update strategies — the measurement-model dispatch is shared, but the
+    scan/vmap paths exercise different slicing."""
+    from surikatoko_tpu.models.monoslam import update as update_mod
+
+    dtype = jnp.float64
+    sc = build_oscillating_scenario(capacity=16, dtype=dtype)
+    params = _params(REPRES_XYZ, dtype)
+    state = init_state(16, dtype=dtype)
+    state = init_with_gt_landmarks(params, sc, state, jax.random.PRNGKey(0))
+
+    from surikatoko_tpu.models.monoslam import predict as predict_mod
+    from surikatoko_tpu.world.device_runner import _project_gt
+    errs = []
+    for f in range(1, 11):
+        obs, vis = _project_gt(params, sc, jnp.asarray(f), jax.random.PRNGKey(f))
+        mask = jnp.logical_and(vis, state.lm_active)
+        if impl == 2:
+            x, P, resid = update_mod.one_obs_update(
+                params, state.x, state.P, obs, mask)
+        else:
+            x, P, resid, _, _ = update_mod.one_point_ransac_update(
+                params, state.x, state.P, obs, mask)
+        assert bool(jnp.all(jnp.isfinite(x))) and bool(jnp.all(jnp.isfinite(P)))
+        errs.append(float(jnp.sum(jnp.linalg.norm(resid, axis=-1))
+                          / jnp.maximum(jnp.sum(mask), 1)))
+        state = predict_mod.predict(params, state._replace(x=x, P=P))
+    # residuals settle to the detection-noise level once velocity is learned
+    assert np.mean(errs[3:]) < 3.0, errs
