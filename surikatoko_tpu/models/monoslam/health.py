@@ -29,10 +29,17 @@ def normalize_quat_and_covar(x: jnp.ndarray, P: jnp.ndarray
     norm_fn = lambda qq: qq / jnp.linalg.norm(qq)
     Jq = jax.jacfwd(norm_fn)(q)                    # [4,4]
     x_new = x.at[3:7].set(norm_fn(q))
-    # P <- J P J^T exploiting J = I + E (E nonzero only on the quat block)
-    P_new = P.at[3:7, :].set(Jq @ P[3:7, :])
-    P_new = P_new.at[:, 3:7].set(P_new[:, 3:7] @ Jq.T)
-    return x_new, 0.5 * (P_new + P_new.T)
+    # P <- J P J^T exploiting J = I + E (E nonzero only on the quat block);
+    # only the 4-wide quat stripe changes, so instead of a full O(D^2)
+    # symmetrize we write the column stripe as the exact transpose of the row
+    # stripe (and symmetrize the tiny 4x4 corner where both were applied)
+    rows = Jq @ P[3:7, :]                      # [4,D] = (J P)[3:7,:]
+    corner = rows[:, 3:7] @ Jq.T               # [4,4]
+    corner = 0.5 * (corner + corner.T)
+    P_new = P.at[3:7, :].set(rows)
+    P_new = P_new.at[:, 3:7].set(rows.T)
+    P_new = P_new.at[3:7, 3:7].set(corner)
+    return x_new, P_new
 
 
 def ensure_nonneg_variance(P: jnp.ndarray) -> jnp.ndarray:

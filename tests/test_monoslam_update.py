@@ -174,3 +174,24 @@ def test_add_remove_landmarks(params):
         params, state3, pix[:1], jnp.asarray([True]))
     assert int(slots4[0]) == 0
     assert int(state4.lm_generation[0]) == 2
+
+
+def test_fused_normalize_and_predict_matches_sequential(params, state_xP):
+    """predict.normalize_and_predict (one camera-stripe pass, used by the
+    on-device loop) == health.normalize_quat_and_covar then predict.predict."""
+    from surikatoko_tpu.models.monoslam import health, init_state
+    from surikatoko_tpu.models.monoslam import predict as predict_mod
+
+    x, P = state_xP
+    # de-normalize the quaternion slightly so the renorm actually acts
+    x = x.at[3:7].multiply(1.01)
+    st = init_state(K)
+    st = st._replace(x=x, P=P,
+                     lm_active=jnp.ones((K,), bool))
+
+    xs, Ps = health.normalize_quat_and_covar(x, P)
+    seq = predict_mod.predict(params, st._replace(x=xs, P=Ps))
+    fused = predict_mod.normalize_and_predict(params, st)
+
+    np.testing.assert_allclose(fused.x, seq.x, atol=1e-12)
+    np.testing.assert_allclose(fused.P, seq.P, atol=1e-12)
