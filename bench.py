@@ -46,8 +46,8 @@ def main() -> None:
     run = make_scan_runner(params, update_impl=1)
 
     F = int(sc.gt_cfw_R.shape[0])
-    CHUNK = 80
-    frames0 = jnp.arange(1, 1 + CHUNK)
+    CHUNK = 300   # large chunks amortize the per-dispatch latency of the
+    frames0 = jnp.arange(1, 1 + CHUNK)   # remote TPU tunnel (~tens of ms)
 
     # warmup / compile
     st, errs, _ = run(state, sc, frames0, jax.random.PRNGKey(1))

@@ -120,9 +120,12 @@ def main() -> int:
         k1k2 = cfg.get_seq("camera_distort_mikhail_k1k2", float, [0.0, 0.0])
         dist = camera.MikhailDistortion(jnp.asarray(k1k2[0]), jnp.asarray(k1k2[1]))
 
+    dt = cfg.get_value("monoslam_dt", float, None)
+    if dt is None:  # reference key name (demo-monoslam-imageseq.json)
+        dt = cfg.get_value("monoslam_seconds_per_frame", float, 1.0)
     params = make_params(
         cam, dist,
-        dt=cfg.get_value("monoslam_dt", float, 1.0),
+        dt=dt,
         process_noise_lin_veloc_std=cfg.get_value(
             "monoslam_process_noise_cam_lin_veloc_std_mm", float, 0.075),
         process_noise_ang_veloc_std=cfg.get_value(
@@ -133,6 +136,12 @@ def main() -> int:
             "monoslam_sal_pnt_init_inv_dist", float, 0.1),
         sal_pnt_init_inv_dist_std=cfg.get_value(
             "monoslam_sal_pnt_init_inv_dist_std", float, 1.0),
+        max_undetected_frames=cfg.get_value(
+            "monoslam_sal_pnt_max_undetected_frames_count", int, 0),
+        ransac_corner_max_divergence_pix=cfg.get_value(
+            "monoslam_1pransac_corner_max_divergence_pix", float, None),
+        ransac_high_innov_chi_square_thresh=cfg.get_value(
+            "monoslam_1pransac_high_innov_chisq_thr_pix2", float, 9.21034),
     )
     tracker = MonoSlamFilter(params, capacity=args.capacity,
                              update_impl=args.update_impl)

@@ -53,6 +53,10 @@ class MonoSlamParams(NamedTuple):
     max_undetected_frames: jnp.ndarray      # delete policy (int)
     covar2d_to_ellipse_confidence: jnp.ndarray
     sal_pnt_repres: int = REPRES_SPHERICAL  # static python int (affects trace)
+    # 1-point RANSAC gates (reference flags monoslam_1pransac_corner_max_
+    # divergence_pix / monoslam_1pransac_high_innov_chisq_thr_pix2)
+    ransac_corner_max_divergence_pix: jnp.ndarray | None = None  # None -> noise std
+    ransac_high_innov_chi_square_thresh: jnp.ndarray | None = None  # None -> 9.21034
 
 
 class MonoSlamState(NamedTuple):
@@ -107,6 +111,8 @@ def make_params(
     max_undetected_frames: int = 0,   # 0 = never delete for being unobserved
     covar2d_to_ellipse_confidence: float = 0.95,
     sal_pnt_repres: int = REPRES_SPHERICAL,
+    ransac_corner_max_divergence_pix: float | None = None,
+    ransac_high_innov_chi_square_thresh: float = 9.21034,
     dtype=None,
 ) -> MonoSlamParams:
     assert sal_pnt_repres in (REPRES_XYZ, REPRES_SPHERICAL), sal_pnt_repres
@@ -132,6 +138,11 @@ def make_params(
         max_undetected_frames=jnp.asarray(max_undetected_frames, jnp.int32),
         covar2d_to_ellipse_confidence=jnp.asarray(covar2d_to_ellipse_confidence, dtype),
         sal_pnt_repres=sal_pnt_repres,
+        ransac_corner_max_divergence_pix=(
+            None if ransac_corner_max_divergence_pix is None
+            else jnp.asarray(ransac_corner_max_divergence_pix, dtype)),
+        ransac_high_innov_chi_square_thresh=jnp.asarray(
+            ransac_high_innov_chi_square_thresh, dtype),
     )
 
 

@@ -185,7 +185,7 @@ def one_point_ransac_update(
     obs: jnp.ndarray, obs_mask: jnp.ndarray,
     *,
     corner_max_divergence_pix: jnp.ndarray | None = None,
-    high_innov_chi_square_thresh: float = 9.21034,
+    high_innov_chi_square_thresh: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Civera 1-Point RANSAC (SfM_EKF_Civera ch.5; reference :1271-1523).
 
@@ -202,6 +202,13 @@ def one_point_ransac_update(
     Kcap = obs_mask.shape[0]
     dtype = x.dtype
     r_var = params.measurm_noise_var.astype(dtype)
+    if corner_max_divergence_pix is None:
+        corner_max_divergence_pix = params.ransac_corner_max_divergence_pix
+    if high_innov_chi_square_thresh is None:
+        high_innov_chi_square_thresh = (
+            params.ransac_high_innov_chi_square_thresh
+            if params.ransac_high_innov_chi_square_thresh is not None
+            else 9.21034)
     thr = (jnp.sqrt(params.measurm_noise_var)
            if corner_max_divergence_pix is None
            else jnp.asarray(corner_max_divergence_pix)).astype(dtype)

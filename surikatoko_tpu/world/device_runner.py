@@ -98,6 +98,168 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
     return run
 
 
+class ImageSeqDeviceScenario(NamedTuple):
+    """On-device image-sequence scenario: frames are RENDERED on device."""
+    gt_cfw_R: jnp.ndarray    # [F,3,3]
+    gt_cfw_t: jnp.ndarray    # [F,3]
+    gt_points: jnp.ndarray   # [N,3] tracker-frame (N == capacity)
+    background: jnp.ndarray  # [H,W] static texture
+    splat_amp: jnp.ndarray   # blob peak intensity
+    splat_sigma: jnp.ndarray  # blob gaussian sigma (pixels)
+
+
+def render_frame(params: MonoSlamParams, sc: ImageSeqDeviceScenario,
+                 f: jnp.ndarray) -> jnp.ndarray:
+    """Render one [H,W] frame on device: static background + a gaussian blob
+    at every visible GT point's projection.
+
+    The 2-D gaussian splat is separable, so the sum over landmarks is ONE
+    outer-product contraction Ey^T diag(a) Ex — an [H,K]@[K,W] MXU matmul —
+    instead of K full-image exp evaluations (the naive [K,H,W] path moves
+    ~30 MB through HBM; this moves ~0.3 MB and ~54k exps)."""
+    H, W = sc.background.shape
+    dtype = sc.background.dtype
+    R = sc.gt_cfw_R[f]
+    t = sc.gt_cfw_t[f]
+    xc = sc.gt_points @ R.T + t
+    dist = params.dist if params.enable_distortion else None
+    pix = cam_mod.project_camera_point(params.cam, dist, xc)       # [K,2]
+    vis = (xc[:, 2] > 1e-6) & jnp.all(jnp.isfinite(pix), axis=-1)
+    pix = jnp.where(jnp.isfinite(pix), pix, -1e6)
+    inv2s2 = 1.0 / (2.0 * sc.splat_sigma * sc.splat_sigma)
+    xs = jnp.arange(W, dtype=dtype)
+    ys = jnp.arange(H, dtype=dtype)
+    ex = jnp.exp(-(xs[None, :] - pix[:, 0:1]) ** 2 * inv2s2)       # [K,W]
+    ey = jnp.exp(-(ys[None, :] - pix[:, 1:2]) ** 2 * inv2s2)       # [K,H]
+    a = sc.splat_amp * vis.astype(dtype)
+    img = sc.background + (ey * a[:, None]).T @ ex                 # [H,W]
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def _gather_templates(image: jnp.ndarray, centers: jnp.ndarray, T: int
+                      ) -> jnp.ndarray:
+    """[K,T,T] patches centered at (rounded, clamped) pixel centers."""
+    H, W = image.shape
+    half = (T - 1) // 2
+    ci = jnp.round(centers).astype(jnp.int32) - half
+
+    def one(tl):
+        y = jnp.clip(tl[1], 0, H - T)
+        x = jnp.clip(tl[0], 0, W - T)
+        return jax.lax.dynamic_slice(image, (y, x), (T, T))
+
+    return jax.vmap(one)(ci)
+
+
+def init_imageseq(params: MonoSlamParams, sc: ImageSeqDeviceScenario,
+                  state: MonoSlamState, templ_width: int
+                  ) -> tuple[MonoSlamState, jnp.ndarray]:
+    """Bootstrap from the rendered frame 0: recruit every visible GT point
+    (GT inverse depth) and capture its [T,T] template from the image."""
+    img0 = render_frame(params, sc, jnp.asarray(0))
+    R = sc.gt_cfw_R[0]
+    t = sc.gt_cfw_t[0]
+    xc0 = sc.gt_points @ R.T + t
+    dist = params.dist if params.enable_distortion else None
+    pix = cam_mod.project_camera_point(params.cam, dist, xc0)
+    H, W = img0.shape
+    vis = ((xc0[:, 2] > 1e-6) & (pix[:, 0] >= 0) & (pix[:, 0] < W)
+           & (pix[:, 1] >= 0) & (pix[:, 1] < H))
+    rho = 1.0 / jnp.maximum(jnp.linalg.norm(xc0, axis=-1), 1e-9)
+    state, _ = lm_mod.add_landmarks(params, state, pix, vis, rho)
+    templates = _gather_templates(img0, pix, templ_width)
+    return predict_mod.predict(params, state), templates
+
+
+def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
+                              search_radius: int = 7,
+                              min_corr_coeff: float = 0.6,
+                              chi2_gate: float = 5.99146,
+                              use_pallas: bool = True,
+                              update_impl: int = 1):
+    """Fully on-device real-perception closed loop: render -> ellipse-gated
+    NCC template search (Pallas kernel) -> EKF update -> predict, one lax.scan
+    over frames. The device analog of the reference's imageseq demo
+    (ImageTemplCornersMatcher + ProcessFrame), with zero host round-trips.
+
+    Returns jitted (state, templates, sc, frames [T]) ->
+    (state, per-frame (err, n_matched, cam_pos))."""
+    from surikatoko_tpu.models.monoslam import measure
+    from surikatoko_tpu.ops.ncc import ncc_search
+
+    def frame_body(sc: ImageSeqDeviceScenario, templates, carry, f):
+        state, = carry
+        img = render_frame(params, sc, f)
+
+        # predicted projections + 2x2 innovation covariance (search ellipse,
+        # reference GetSalientPointProjected2DPosWithUncertainty :3901)
+        h, Hcam, Hlm = measure.measurement_jacobians(params, state.x)
+        A = update_mod._hp(Hcam, Hlm, state.P)
+        Kcap = state.capacity
+        A_lm = A[:, :, CAM_STATE_COMPS:].reshape(Kcap, 2, Kcap, 6)
+        own = jnp.einsum("kikd->kid", A_lm)
+        S2 = (jnp.einsum("kid,kjd->kij", A[:, :, :CAM_STATE_COMPS], Hcam)
+              + jnp.einsum("kid,kjd->kij", own, Hlm)
+              + params.measurm_noise_var * jnp.eye(2, dtype=state.x.dtype))
+        det = (S2[:, 0, 0] * S2[:, 1, 1] - S2[:, 0, 1] * S2[:, 1, 0])
+        det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+        sigma_inv = (jnp.stack([
+            jnp.stack([S2[:, 1, 1], -S2[:, 0, 1]], -1),
+            jnp.stack([-S2[:, 1, 0], S2[:, 0, 0]], -1)], -2)
+            / det[:, None, None])
+
+        res = ncc_search(
+            img, h, templates, state.lm_active,
+            search_radius=search_radius, min_corr_coeff=min_corr_coeff,
+            sigma_inv=sigma_inv, chi2_gate=chi2_gate, use_pallas=use_pallas)
+        obs = res.best_center
+        obs_mask = jnp.logical_and(res.matched, state.lm_active)
+
+        if update_impl == 1:
+            x, P, resid = update_mod.stacked_update(
+                params, state.x, state.P, obs, obs_mask)
+        else:
+            x, P, resid, _, _ = update_mod.one_point_ransac_update(
+                params, state.x, state.P, obs, obs_mask)
+        P = health_mod.ensure_nonneg_variance(P)
+        if params.sal_pnt_repres != 1:
+            x, _ = health_mod.substitute_negative_inv_rho(
+                x, params.sal_pnt_negative_inv_rho_substitute, state.capacity)
+        state = state._replace(x=x, P=P)
+        state = predict_mod.normalize_and_predict(params, state)
+        n = jnp.sum(obs_mask.astype(jnp.int32))
+        err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(n, 1)
+        return (state,), (err, n, x[:3])
+
+    @jax.jit
+    def run(state: MonoSlamState, templates, sc: ImageSeqDeviceScenario,
+            frames: jnp.ndarray):
+        (state,), out = jax.lax.scan(
+            functools.partial(frame_body, sc, templates), (state,), frames)
+        return state, out
+
+    return run
+
+
+def build_imageseq_scenario(capacity: int = 96, dtype=None,
+                            image_size=(320, 240), splat_amp: float = 170.0,
+                            splat_sigma: float = 1.8, seed: int = 0):
+    """ImageSeqDeviceScenario over the oscillating scenario03 world."""
+    import numpy as np
+
+    dtype = dtype or jnp.float32
+    base = build_oscillating_scenario(capacity=capacity, dtype=dtype)
+    W, H = image_size
+    rng = np.random.default_rng(seed)
+    bg = rng.uniform(20.0, 60.0, size=(H, W)).astype(np.float32)
+    return ImageSeqDeviceScenario(
+        gt_cfw_R=base.gt_cfw_R, gt_cfw_t=base.gt_cfw_t,
+        gt_points=base.gt_points,
+        background=jnp.asarray(bg, dtype),
+        splat_amp=jnp.asarray(splat_amp, dtype),
+        splat_sigma=jnp.asarray(splat_sigma, dtype))
+
+
 def build_oscillating_scenario(capacity: int = 32, dtype=None,
                                detection_noise_std: float = 0.5):
     """Scenario03-style DeviceScenario sized to `capacity` landmarks (grid
