@@ -22,7 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_factor, cho_solve
+from jax.scipy.linalg import cho_factor, cho_solve, solve_triangular
 
 from surikatoko_tpu.models.monoslam import measure
 from surikatoko_tpu.models.monoslam.state import CAM_STATE_COMPS, MonoSlamParams
@@ -70,10 +70,13 @@ def stacked_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
     """One stacked EKF update over all observed slots.
 
     Returns (x', P', masked residual [K,2]). Hot path: three dense MXU
-    matmuls A = H P, S = A H^T + R, P -= A^T G (reference :1004-1114), with a
-    Cholesky solve of the 2K-sized innovation system producing the gain
-    precursor G = S^-1 A in one triangular-solve pair (the state update reuses
-    it: dx = G^T r, since S is symmetric).
+    matmuls A = H P, S = A H^T + R, P -= B^T B (reference :1004-1114), where
+    B = C^-1 A for the innovation Cholesky factor S = C C^T. Writing the
+    downdate as the Gram product B^T B (instead of K S K^T with the explicit
+    gain) needs ONE [2K]-wide triangular solve over the D columns and is
+    exactly symmetric element-by-element — no 0.5 (P + P^T) repair pass over
+    the [D,D] covariance afterwards (the reference's FixSymmetricMat :4308
+    becomes unnecessary on this path by construction).
     """
     Kcap = obs_mask.shape[0]
     h, Hcam, Hlm = _masked_jacobians(params, x, obs_mask)
@@ -85,15 +88,11 @@ def stacked_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
     S2 = A2 @ H.T + r_var * jnp.eye(2 * Kcap, dtype=x.dtype)
     r2 = resid.reshape(2 * Kcap)
 
-    cho = cho_factor(S2, lower=True)
-    # S^-1 explicitly (2K x 2K triangular solves), then one MXU matmul for the
-    # gain precursor G = S^-1 A: ~25% faster than triangular-solving the D-wide
-    # A directly (the trsm cost scales with RHS count; D ~ 3x 2K)
-    S_inv = cho_solve(cho, jnp.eye(2 * Kcap, dtype=x.dtype))
-    G = S_inv @ A2                                 # [2K, D] = S^-1 H P
-    x_new = x + G.T @ r2
-    P_new = P - A2.T @ G
-    P_new = 0.5 * (P_new + P_new.T)
+    C = jnp.linalg.cholesky(S2)                    # S = C C^T
+    B = solve_triangular(C, A2, lower=True)        # [2K, D] = C^-1 H P
+    y = solve_triangular(C, r2, lower=True)        # whitened innovation
+    x_new = x + B.T @ y                            # = P H^T S^-1 r
+    P_new = P - B.T @ B                            # = P - K S K^T, symmetric
     return x_new, P_new, resid
 
 
