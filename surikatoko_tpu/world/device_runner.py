@@ -34,13 +34,15 @@ class DeviceScenario(NamedTuple):
 
 
 def _project_gt(params: MonoSlamParams, sc: DeviceScenario, f: jnp.ndarray,
-                key: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
+                key: jax.Array | None, noise: jnp.ndarray | None = None
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     R = sc.gt_cfw_R[f]
     t = sc.gt_cfw_t[f]
     xc = sc.gt_points @ R.T + t
     dist = params.dist if params.enable_distortion else None
     pix = cam_mod.project_camera_point(params.cam, dist, xc)
-    noise = sc.noise_std * jax.random.normal(key, pix.shape, pix.dtype)
+    if noise is None:
+        noise = sc.noise_std * jax.random.normal(key, pix.shape, pix.dtype)
     pix = pix + noise
     w, h = sc.image_size[0], sc.image_size[1]
     vis = ((xc[:, 2] > 1e-6) & (pix[:, 0] >= 0) & (pix[:, 0] < w)
@@ -64,10 +66,10 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
     """Returns jitted (state, scenario, frame_indices [T], key) ->
     (state, per-frame residual norms [T]): T tracked frames as one scan."""
 
-    def frame_body(sc: DeviceScenario, carry, f_and_key):
+    def frame_body(sc: DeviceScenario, carry, f_and_noise):
         state, = carry
-        f, key = f_and_key
-        obs, vis = _project_gt(params, sc, f, key)
+        f, noise = f_and_noise
+        obs, vis = _project_gt(params, sc, f, None, noise)
         obs_mask = jnp.logical_and(vis, state.lm_active)
         if update_impl == 1:
             x, P, resid = update_mod.stacked_update(
@@ -90,9 +92,14 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
     @jax.jit
     def run(state: MonoSlamState, sc: DeviceScenario,
             frames: jnp.ndarray, key: jax.Array):
-        keys = jax.random.split(key, frames.shape[0])
+        # one batched threefry for the whole chunk instead of a split+normal
+        # chain inside every scan iteration (the PRNG was the single largest
+        # fusion in the compiled frame body)
+        K = sc.gt_points.shape[0]
+        noise = sc.noise_std * jax.random.normal(
+            key, (frames.shape[0], K, 2), sc.gt_points.dtype)
         (state,), (errs, cam_pos) = jax.lax.scan(
-            functools.partial(frame_body, sc), (state,), (frames, keys))
+            functools.partial(frame_body, sc), (state,), (frames, noise))
         return state, errs, cam_pos
 
     return run
