@@ -85,6 +85,17 @@ def main() -> int:
     ap.add_argument("--detection_noise_std", type=float, default=0.0)
     ap.add_argument("--match_drop_prob", type=float, default=0.0)
     ap.add_argument("--x64", action="store_true", default=True)
+    # the reference's 'u' hotkey (SetEstimStateAndCovarToGroundTruth)
+    ap.add_argument("--reset_to_gt_at", type=int, default=None,
+                    help="snap camera state to GT at this frame (recovery)")
+    # the reference's 'i' hotkey (DumpTrackerState)
+    ap.add_argument("--dump_state_at", type=int, default=None,
+                    help="print the full filter state at this frame")
+    # checkpoint/resume (north-star addition; reference has no load path)
+    ap.add_argument("--checkpoint_every", type=int, default=None)
+    ap.add_argument("--checkpoint_path", default="monoslam_ckpt.npz")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint_path (frame index included)")
     args = ap.parse_args()
 
     import jax
@@ -186,11 +197,36 @@ def main() -> int:
             match_drop_prob=args.match_drop_prob)
         n_frames = min(args.frames or 10**9, gt_cfw.t.shape[0])
         state = init_tracker_state_from_gt(tracker, gt_cfw, dt=float(params.dt))
-        for f in range(n_frames):
+        from surikatoko_tpu.io import checkpoint as ckpt_mod
+        from surikatoko_tpu.models.monoslam import health as health_mod
+        from surikatoko_tpu.models.monoslam.filter import format_state
+        start_frame = 0
+        if args.resume and os.path.exists(args.checkpoint_path):
+            payload = ckpt_mod.load_pytree(
+                args.checkpoint_path,
+                {"state": state, "frame": 0,
+                 "slot_to_frag": matcher.slot_to_frag,
+                 "frag_to_slot": matcher.frag_to_slot})
+            state, start_frame = payload["state"], int(payload["frame"])
+            matcher.slot_to_frag = np.asarray(payload["slot_to_frag"])
+            matcher.frag_to_slot = np.asarray(payload["frag_to_slot"])
+            print(f"resumed from {args.checkpoint_path} at frame {start_frame}")
+        for f in range(start_frame, n_frames):
             if args.suppress_observations_from is not None:
                 lo = args.suppress_observations_from
                 hi = args.suppress_observations_to or 10**9
                 matcher.suppress_observations = lo <= f < hi
+            if args.reset_to_gt_at is not None and f == args.reset_to_gt_at:
+                from surikatoko_tpu.geom import quat as quat_mod
+                wfc_r = SE3(gt_cfw.R[f], gt_cfw.t[f]).inv()
+                gt13r = jnp.concatenate([
+                    jnp.asarray(wfc_r.t),
+                    jnp.asarray(quat_mod.from_rotmat(wfc_r.R)),
+                    jnp.zeros(6, state.x.dtype)])
+                state = health_mod.reset_camera_to_gt(state, gt13r)
+                print(f"f={f} camera state reset to ground truth ('u' hotkey)")
+            if args.dump_state_at is not None and f == args.dump_state_at:
+                print(format_state(state))
             logger.start_new_frame()
             obs, obs_mask = matcher.match_salient_points(state, f)
             new_pix, new_mask, gt_rho, frag_ids = matcher.recruit_new_salient_points(
@@ -206,6 +242,12 @@ def main() -> int:
             gt13 = np.concatenate([np.asarray(wfc.t), q_gt, np.zeros(6)])
             logger.record_from_stats(stats, state, cam_state_gt=gt13)
             logger.finish_frame()
+            if args.checkpoint_every and (f + 1) % args.checkpoint_every == 0:
+                ckpt_mod.save_pytree(
+                    args.checkpoint_path,
+                    {"state": state, "frame": f + 1,
+                     "slot_to_frag": matcher.slot_to_frag,
+                     "frag_to_slot": matcher.frag_to_slot})
             d = logger.slices[-1].frame_processing_dur
             err = np.linalg.norm(np.asarray(stats.cam_state[:3]) - np.asarray(wfc.t))
             print(f"f={f} track={d*1e3:.1f}ms | {1.0/max(d,1e-9):.1f}fps "
