@@ -36,3 +36,37 @@ def test_mc_vs_jacobian_propagation(key):
     _, cov_mc = rand.propagate_uncertainty_mc(key, fn, mean, cov, n=200_000)
     _, cov_jac = rand.propagate_uncertainty_jacobian(fn, mean, cov)
     np.testing.assert_allclose(cov_mc, cov_jac, rtol=0.05, atol=1e-8)
+
+
+def test_gauss_jordan_mit_pivoting_case():
+    # the reference prototype's test fixture (py_proto/suriko/
+    # test_gauss_jordan.py:7-14): augmented 4x5 system needing pivoting
+    from surikatoko_tpu.utils import la
+
+    m = jnp.array([[0.02, 0.01, 0, 0], [1, 2, 1, 0],
+                   [0, 1, 2, 1], [0, 0, 100, 200]], jnp.float64)
+    b = jnp.array([0.02, 1, 4, 800], jnp.float64)
+    aug = jnp.hstack([m, b[:, None]])
+    rref, ok = la.gauss_jordan(aug)
+    assert bool(ok)
+    np.testing.assert_allclose(rref[:, 4], [1, 0, 0, 4], atol=1e-12)
+    np.testing.assert_allclose(rref[:, :4], jnp.eye(4), atol=1e-12)
+
+
+def test_gauss_jordan_detects_singular():
+    # wikipedia's dependent-rows example (reference test_gauss_jordan.py:16)
+    from surikatoko_tpu.utils import la
+
+    aug = jnp.array([[1, 3, 1, 9], [1, 1, -1, 1], [3, 11, 5, 35]], jnp.float64)
+    _, ok = la.gauss_jordan(aug)
+    assert not bool(ok)
+
+
+def test_gauss_jordan_matches_solve(rng):
+    from surikatoko_tpu.utils import la
+
+    a = jnp.asarray(rng.normal(size=(7, 7)))
+    b = jnp.asarray(rng.normal(size=(7, 2)))
+    rref, ok = jax.jit(la.gauss_jordan)(jnp.hstack([a, b]))
+    assert bool(ok)
+    np.testing.assert_allclose(rref[:, 7:], jnp.linalg.solve(a, b), atol=1e-9)
