@@ -29,10 +29,14 @@ def main() -> int:
     ap.add_argument("--max_points", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--x64", action="store_true", default=True)
+    ap.add_argument("--f32", action="store_true",
+                    help="run f32 with f32-accumulation matmuls (TPU)")
     args = ap.parse_args()
 
     import jax
-    if args.x64:
+    if args.f32:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    elif args.x64:
         jax.config.update("jax_enable_x64", True)
 
     from surikatoko_tpu.io import dino

@@ -74,6 +74,13 @@ class BundleAdjustment:
         hessian_factor = 1e-4
         err_value = float(self._err(p))
         err_thresh = term_crit.allowed_reproj_err_rel_change
+        # dtype-aware convergence floor: once a (damped) trial step changes
+        # the error by less than a few ulps of the error itself, no further
+        # progress is representable — declare convergence instead of damping
+        # up to "hessian overflow". The reference never needed this (always
+        # f64, rt-config.h:42); on TPU f32 the configured thresholds
+        # (e.g. dino 4.56e-8 rel) sit below the f32 resolution of the error.
+        eps_floor = 32.0 * float(jnp.finfo(p.points.dtype).eps)
         self.iterations = 0
 
         for _ in range(term_crit.max_iters):
@@ -82,24 +89,27 @@ class BundleAdjustment:
             err_new_prev = None
             while True:
                 dX, du, ok = self._solve(blocks, hessian_factor)
-                if not bool(ok):
-                    self.stop_reason = "hessian overflow"
-                    return False, p
-                p_try = self._apply(p, dX, du)
-                err_new = float(self._err(p_try))
-                if err_new < err_value:
-                    p = p_try
-                    break
-                if (err_new_prev is not None and err_thresh is not None
-                        and abs(err_new - err_new_prev) < err_thresh):
-                    self.stop_reason = "err converged to limit value"
-                    return False, p
+                if bool(ok):
+                    p_try = self._apply(p, dX, du)
+                    err_new = float(self._err(p_try))
+                    if err_new < err_value:
+                        p = p_try
+                        break
+                    if 0.0 <= err_new - err_value <= eps_floor * err_value:
+                        self.stop_reason = "converged at dtype precision"
+                        return True, p
+                    if (err_new_prev is not None and err_thresh is not None
+                            and abs(err_new - err_new_prev) < err_thresh):
+                        self.stop_reason = "err converged to limit value"
+                        return False, p
+                    err_new_prev = err_new
+                # non-finite solve (indefinite damped system) or no decrease:
+                # more damping — only a factor beyond the cap is fatal
                 hessian_factor *= 10.0
                 if (term_crit.max_hessian_factor is not None
                         and hessian_factor > term_crit.max_hessian_factor):
                     self.stop_reason = "hessian overflow"
                     return False, p
-                err_new_prev = err_new
 
             self.iterations += 1
             err_change = err_new - err_value
@@ -161,30 +171,32 @@ class SparseBundleAdjustment:
         hessian_factor = 1e-4
         err_value = float(self._err(p))
         err_thresh = term_crit.allowed_reproj_err_rel_change
+        eps_floor = 32.0 * float(jnp.finfo(p.points.dtype).eps)  # see above
         self.iterations = 0
         for _ in range(term_crit.max_iters):
             blocks = self._blocks(p)
             err_new_prev = None
             while True:
                 dX, du, ok = self._solve(p, blocks, hessian_factor)
-                if not bool(ok):
-                    self.stop_reason = "hessian overflow"
-                    return False, p
-                p_try = self._apply(p, dX, du)
-                err_new = float(self._err(p_try))
-                if err_new < err_value:
-                    p = p_try
-                    break
-                if (err_new_prev is not None and err_thresh is not None
-                        and abs(err_new - err_new_prev) < err_thresh):
-                    self.stop_reason = "err converged to limit value"
-                    return False, p
+                if bool(ok):
+                    p_try = self._apply(p, dX, du)
+                    err_new = float(self._err(p_try))
+                    if err_new < err_value:
+                        p = p_try
+                        break
+                    if 0.0 <= err_new - err_value <= eps_floor * err_value:
+                        self.stop_reason = "converged at dtype precision"
+                        return True, p
+                    if (err_new_prev is not None and err_thresh is not None
+                            and abs(err_new - err_new_prev) < err_thresh):
+                        self.stop_reason = "err converged to limit value"
+                        return False, p
+                    err_new_prev = err_new
                 hessian_factor *= 10.0
                 if (term_crit.max_hessian_factor is not None
                         and hessian_factor > term_crit.max_hessian_factor):
                     self.stop_reason = "hessian overflow"
                     return False, p
-                err_new_prev = err_new
             self.iterations += 1
             if err_thresh is not None and abs(err_new - err_value) < err_thresh:
                 self.stop_reason = "small relative err change"
