@@ -6,15 +6,18 @@ rows are replicated (tiny). Per step (SURVEY §7 "blocked EKF update"):
 
   local   A_k = H_k P          (needs only local P rows + H of local slots)
   gather  H blocks + A rows    (one all_gather of the gain precursor per step)
-  repl    S = A H^T + R, Cholesky of the (2K)x(2K) innovation system (small)
-  local   Delta P rows via the symmetric identity
-          Delta P[:, rows_d] = A^T (S^{-1} A[:, rows_d])  -> transpose to rows
+  repl    S = A H^T + R; whitened gain B = C^-1 A for S = C C^T (small trsm)
+  local   Delta P rows = B[:, rows_d]^T B   (Gram product, own row block)
 
 All cross-device traffic is the single all_gather of A [2K, D] plus the tiny
-H/resid gathers; the O(D^2 K) downdate runs fully distributed. Numerically
-identical to models/monoslam/update.stacked_update (tested in
-tests/test_parallel_ekf.py — the single-vs-sharded parity pattern that
-replaces the reference's Schur-vs-naive check).
+H/resid gathers; the O(D^2 K) downdate runs fully distributed. The Gram form
+makes every P element B[:,r]^T B[:,c] — the identical contraction on every
+device — so the assembled P is exactly symmetric across shards with NO
+replicated (P + P^T)/2 repair pass (the old S^-1 form computed mirror
+elements on different devices in different orders). Numerically identical to
+models/monoslam/update.stacked_update (tested in tests/test_parallel_ekf.py —
+the single-vs-sharded parity pattern that replaces the reference's
+Schur-vs-naive check).
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_factor, cho_solve
+from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -68,23 +71,22 @@ def _local_update_kernel(params: MonoSlamParams, K: int,
          + jnp.einsum("kild,ljd->kilj", A_lm_cols, Hlm_all))
     S2 = S.reshape(2 * K, 2 * K) + r_var * jnp.eye(2 * K, dtype=dtype)
     A2 = A_all.reshape(2 * K, D)
-    cho = cho_factor(S2, lower=True)
+    C = jnp.linalg.cholesky(S2)                     # replicated, (2K)^2 small
+    B = solve_triangular(C, A2, lower=True)         # [2K, D] whitened gain
+    y = solve_triangular(C, r_all.reshape(-1), lower=True)
 
     # state update (replicated)
-    x_new = x + A2.T @ cho_solve(cho, r_all.reshape(-1))
+    x_new = x + B.T @ y
 
-    # covariance downdate, distributed over local rows
+    # covariance downdate, distributed over local rows: own-rows Gram slab
     dev = jax.lax.axis_index("lm")
     col0 = jnp.asarray(_N, jnp.int32) + dev.astype(jnp.int32) * (L * 6)
-    A2_owncols = jax.lax.dynamic_slice(
-        A2, (jnp.zeros((), jnp.int32), col0), (2 * K, L * 6))  # [2K, 6L]
-    W_own = cho_solve(cho, A2_owncols)                                 # [2K, 6L]
-    dP_cols = A2.T @ W_own                                             # [D, 6L]
-    P_lm_new = P_lm - dP_cols.T.reshape(L, 6, D)
+    B_own = jax.lax.dynamic_slice(
+        B, (jnp.zeros((), jnp.int32), col0), (2 * K, L * 6))  # [2K, 6L]
+    P_lm_new = P_lm - (B_own.T @ B).reshape(L, 6, D)
 
     # camera rows (replicated, tiny)
-    W_cam = cho_solve(cho, A2[:, :_N])
-    P_cam_new = P_cam - (A2.T @ W_cam).T
+    P_cam_new = P_cam - B[:, :_N].T @ B
 
     return x_new, P_cam_new, P_lm_new, resid_loc
 
@@ -116,8 +118,8 @@ def make_sharded_stacked_update(params: MonoSlamParams, capacity: int, mesh: Mes
         lms = x[_N:].reshape(capacity, 6)
         x_new, P_cam_new, P_lm_new, resid = smapped(
             x, P_cam, P_lm, lms, obs, obs_mask)
+        # exactly symmetric by the Gram construction — no (P + P^T)/2 pass
         P_new = jnp.concatenate([P_cam_new, P_lm_new.reshape(-1, D)], axis=0)
-        P_new = 0.5 * (P_new + P_new.T)
         return x_new, P_new, resid
 
     return update
