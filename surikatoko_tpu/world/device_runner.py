@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from surikatoko_tpu.geom import camera as cam_mod
+from surikatoko_tpu.models.monoslam import fused_step as fused_mod
 from surikatoko_tpu.models.monoslam import landmarks as lm_mod
 from surikatoko_tpu.models.monoslam import predict as predict_mod
 from surikatoko_tpu.models.monoslam import update as update_mod
@@ -72,21 +73,27 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
         obs, vis = _project_gt(params, sc, f, None, noise)
         obs_mask = jnp.logical_and(vis, state.lm_active)
         if update_impl == 1:
-            x, P, resid = update_mod.stacked_update(
-                params, state.x, state.P, obs, obs_mask)
+            # update + nonneg clamp + rho substitution + renorm + predict as
+            # one covariance congruence (fused_step.py): ~2 HBM passes over P
+            x_next, P_next, resid, x_upd = (
+                fused_mod.fused_update_health_predict(
+                    params, state.x, state.P, obs, obs_mask))
+            state = state._replace(x=x_next, P=P_next)
         else:
             x, P, resid, _, _ = update_mod.one_point_ransac_update(
                 params, state.x, state.P, obs, obs_mask)
-        P = health_mod.ensure_nonneg_variance(P)
-        if params.sal_pnt_repres != 1:  # rho substitution is spherical-only
-            x, _ = health_mod.substitute_negative_inv_rho(
-                x, params.sal_pnt_negative_inv_rho_substitute, state.capacity)
-        state = state._replace(x=x, P=P)
-        # quat renorm + predict fused into one camera-stripe pass over P
-        state = predict_mod.normalize_and_predict(params, state)
+            P = health_mod.ensure_nonneg_variance(P)
+            if params.sal_pnt_repres != 1:  # rho substitution: spherical-only
+                x, _ = health_mod.substitute_negative_inv_rho(
+                    x, params.sal_pnt_negative_inv_rho_substitute,
+                    state.capacity)
+            x_upd = x
+            state = state._replace(x=x, P=P)
+            # quat renorm + predict fused into one camera-stripe pass over P
+            state = predict_mod.normalize_and_predict(params, state)
         err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(
             jnp.sum(obs_mask), 1)
-        cam_pos = x[:3]
+        cam_pos = x_upd[:3]
         return (state,), (err, cam_pos)
 
     @jax.jit
@@ -223,20 +230,24 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
         obs_mask = jnp.logical_and(res.matched, state.lm_active)
 
         if update_impl == 1:
-            x, P, resid = update_mod.stacked_update(
-                params, state.x, state.P, obs, obs_mask)
+            x_next, P_next, resid, x_upd = (
+                fused_mod.fused_update_health_predict(
+                    params, state.x, state.P, obs, obs_mask))
+            state = state._replace(x=x_next, P=P_next)
         else:
             x, P, resid, _, _ = update_mod.one_point_ransac_update(
                 params, state.x, state.P, obs, obs_mask)
-        P = health_mod.ensure_nonneg_variance(P)
-        if params.sal_pnt_repres != 1:
-            x, _ = health_mod.substitute_negative_inv_rho(
-                x, params.sal_pnt_negative_inv_rho_substitute, state.capacity)
-        state = state._replace(x=x, P=P)
-        state = predict_mod.normalize_and_predict(params, state)
+            P = health_mod.ensure_nonneg_variance(P)
+            if params.sal_pnt_repres != 1:
+                x, _ = health_mod.substitute_negative_inv_rho(
+                    x, params.sal_pnt_negative_inv_rho_substitute,
+                    state.capacity)
+            x_upd = x
+            state = state._replace(x=x, P=P)
+            state = predict_mod.normalize_and_predict(params, state)
         n = jnp.sum(obs_mask.astype(jnp.int32))
         err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(n, 1)
-        return (state,), (err, n, x[:3])
+        return (state,), (err, n, x_upd[:3])
 
     @jax.jit
     def run(state: MonoSlamState, templates, sc: ImageSeqDeviceScenario,
