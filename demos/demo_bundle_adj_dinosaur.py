@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--x64", action="store_true", default=True)
     ap.add_argument("--f32", action="store_true",
                     help="run f32 with f32-accumulation matmuls (TPU)")
+    ap.add_argument("--host_loop", action="store_true",
+                    help="host-driven LM (default: whole LM compiled "
+                         "on device as one program)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +63,7 @@ def main() -> int:
     print(f"initial reproj_err={err0:.6g} nodim "
           f"({float(reproj_error_pix_per_point(p, err0)):.4f} pix/point)")
 
-    ba = BundleAdjustment()
+    ba = BundleAdjustment(device_loop=not args.host_loop)
     t0 = time.time()
     ok, p_opt = ba.compute_inplace(
         p, TermCriteria(allowed_reproj_err_rel_change=args.allowed_repr_err))

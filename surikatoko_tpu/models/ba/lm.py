@@ -35,12 +35,40 @@ class TermCriteria:
     max_iters: int = 300
 
 
+def _run_device_loop(driver, p, term_crit: TermCriteria, blocks_fn, solve_fn,
+                     apply_fn, err_fn):
+    """Run the whole LM as one compiled program (models/ba/lm_device.py) and
+    map its stop code back onto the host driver's (ok, stop_reason,
+    iterations) reporting. One device dispatch per BA instead of ~4 calls +
+    2 blocking host syncs per iteration."""
+    from surikatoko_tpu.models.ba import lm_device
+
+    key = (term_crit.allowed_reproj_err_rel_change,
+           term_crit.max_hessian_factor, term_crit.max_iters)
+    if driver._dev_run is None or driver._dev_key != key:
+        def runner(p0):
+            return lm_device.run_lm_on_device(
+                p0, blocks_fn=blocks_fn, solve_fn=solve_fn,
+                apply_fn=apply_fn, err_fn=err_fn,
+                err_thresh=term_crit.allowed_reproj_err_rel_change,
+                max_factor=term_crit.max_hessian_factor,
+                max_iters=term_crit.max_iters)
+        driver._dev_run = jax.jit(runner)
+        driver._dev_key = key
+    p_out, code, iters, _err = driver._dev_run(p)
+    code = int(code)
+    driver.iterations = int(iters)
+    driver.stop_reason = lm_device.STOP_REASON_STR.get(code, "")
+    return lm_device.STOP_OK.get(code, True), p_out
+
+
 @dataclass
 class BundleAdjustment:
     unity_comp_ind: int = 1
     t1y: float = 1.0
     optimize_intrinsics: bool = True
     pin_frames: tuple = ()      # fixed-keyframe BA: these poses never move
+    device_loop: bool = False   # run the WHOLE LM as one compiled program
     stop_reason: str = field(default="", init=False)
     iterations: int = field(default=0, init=False)
 
@@ -54,6 +82,8 @@ class BundleAdjustment:
             optimize_intrinsics=self.optimize_intrinsics, pin_frames=pins))
         self._apply = jax.jit(derivs.apply_corrections)
         self._err = jax.jit(reproj_error)
+        self._dev_run = None
+        self._dev_key = None
 
     def compute_inplace(self, p: BAProblem,
                         term_crit: TermCriteria | None = None
@@ -71,6 +101,17 @@ class BundleAdjustment:
     def compute_on_normalized_world(self, p: BAProblem,
                                     term_crit: TermCriteria
                                     ) -> tuple[bool, BAProblem]:
+        if self.device_loop:
+            pins = tuple(int(f) for f in self.pin_frames)
+            blocks_fn = functools.partial(
+                derivs.compute_blocks, unity_comp_ind=self.unity_comp_ind,
+                optimize_intrinsics=self.optimize_intrinsics, pin_frames=pins)
+            solve_fn = lambda _p, blocks, factor: schur.solve_corrections_schur(  # noqa: E731
+                blocks, factor, unity_comp_ind=self.unity_comp_ind,
+                optimize_intrinsics=self.optimize_intrinsics, pin_frames=pins)
+            return _run_device_loop(
+                self, p, term_crit, blocks_fn, solve_fn,
+                derivs.apply_corrections, reproj_error)
         hessian_factor = 1e-4
         err_value = float(self._err(p))
         err_thresh = term_crit.allowed_reproj_err_rel_change
@@ -135,6 +176,7 @@ class SparseBundleAdjustment:
     point_chunk: int = 512
     mesh: object = None          # jax.sharding.Mesh -> distributed solve
     pin_frames: tuple = ()       # fixed-keyframe BA
+    device_loop: bool = False    # run the WHOLE LM as one compiled program
     stop_reason: str = field(default="", init=False)
     iterations: int = field(default=0, init=False)
 
@@ -149,6 +191,8 @@ class SparseBundleAdjustment:
             pin_frames=tuple(int(f) for f in self.pin_frames)))
         self._apply = jax.jit(sp.apply_corrections)
         self._solver = None
+        self._dev_run = None
+        self._dev_key = None
 
     def _solve(self, p, blocks, factor):
         if self.mesh is not None:
@@ -168,6 +212,15 @@ class SparseBundleAdjustment:
 
     def compute(self, p, term_crit: TermCriteria | None = None):
         term_crit = term_crit or TermCriteria()
+        if self.device_loop:
+            pins = tuple(int(f) for f in self.pin_frames)
+            blocks_fn = functools.partial(
+                self._sp.compute_blocks, unity_comp_ind=self.unity_comp_ind,
+                optimize_intrinsics=self.optimize_intrinsics,
+                pin_frames=pins)
+            return _run_device_loop(
+                self, p, term_crit, blocks_fn, self._solve,
+                self._sp.apply_corrections, self._sp.reproj_error)
         hessian_factor = 1e-4
         err_value = float(self._err(p))
         err_thresh = term_crit.allowed_reproj_err_rel_change

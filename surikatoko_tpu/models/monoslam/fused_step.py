@@ -47,6 +47,7 @@ _N = CAM_STATE_COMPS
 def fused_update_health_predict(
     params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
     obs: jnp.ndarray, obs_mask: jnp.ndarray,
+    *, precomputed: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frame of the closed loop with update_impl=1.
 
@@ -54,17 +55,35 @@ def fused_update_health_predict(
     (x_next, P_next) are *predicted* for the next frame and x_post_update is
     the updated-but-not-yet-predicted state (what the sequential pipeline
     reports per frame).
+
+    ``precomputed`` optionally carries (h [K,2], A_un [2K,D], T_un [2K,2K])
+    — the UNMASKED predicted pixels, A_un = H P and T_un = H P H^T evaluated
+    at this same ``x``. The imageseq loop already builds these for the
+    NCC search-ellipse prediction (reference
+    GetSalientPointProjected2DPosWithUncertainty :3901), and masking is a
+    row/col scaling: masked A2 = M A_un, masked S2 = M T_un M + R. Passing
+    them in removes a duplicate Jacobian evaluation and a duplicate
+    [2K,D]@[D,D] matmul per frame (identical numerics: masked rows of A_un
+    are exact zeros either way).
     """
     dtype = x.dtype
     Kcap = obs_mask.shape[0]
-
-    # --- stacked update pieces (update.stacked_update :977-1114) ---
-    h, Hcam, Hlm = update_mod._masked_jacobians(params, x, obs_mask)
-    resid = (obs - h) * obs_mask[:, None].astype(dtype)
-    H = update_mod._dense_h(Hcam, Hlm)                  # [2K, D]
-    A2 = H @ P                                          # [2K, D]
     r_var = params.measurm_noise_var.astype(dtype)
-    S2 = A2 @ H.T + r_var * jnp.eye(2 * Kcap, dtype=dtype)
+
+    if precomputed is None:
+        # --- stacked update pieces (update.stacked_update :977-1114) ---
+        h, Hcam, Hlm = update_mod._masked_jacobians(params, x, obs_mask)
+        resid = (obs - h) * obs_mask[:, None].astype(dtype)
+        H = update_mod._dense_h(Hcam, Hlm)              # [2K, D]
+        A2 = H @ P                                      # [2K, D]
+        S2 = A2 @ H.T + r_var * jnp.eye(2 * Kcap, dtype=dtype)
+    else:
+        h, A_un, T_un = precomputed
+        resid = (obs - h) * obs_mask[:, None].astype(dtype)
+        m2 = jnp.repeat(obs_mask, 2).astype(dtype)      # [2K] row mask
+        A2 = A_un * m2[:, None]
+        S2 = (T_un * (m2[:, None] * m2[None, :])
+              + r_var * jnp.eye(2 * Kcap, dtype=dtype))
     C = jnp.linalg.cholesky(S2)
     B = solve_triangular(C, A2, lower=True)             # [2K, D]
     y = solve_triangular(C, resid.reshape(2 * Kcap), lower=True)

@@ -206,14 +206,17 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
         img = render_frame(params, sc, f)
 
         # predicted projections + 2x2 innovation covariance (search ellipse,
-        # reference GetSalientPointProjected2DPosWithUncertainty :3901)
+        # reference GetSalientPointProjected2DPosWithUncertainty :3901).
+        # A_un = H P and T_un = H P H^T are computed ONCE here and reused by
+        # the fused update below (masking is an exact row/col scaling).
         h, Hcam, Hlm = measure.measurement_jacobians(params, state.x)
-        A = update_mod._hp(Hcam, Hlm, state.P)
         Kcap = state.capacity
-        A_lm = A[:, :, CAM_STATE_COMPS:].reshape(Kcap, 2, Kcap, 6)
-        own = jnp.einsum("kikd->kid", A_lm)
-        S2 = (jnp.einsum("kid,kjd->kij", A[:, :, :CAM_STATE_COMPS], Hcam)
-              + jnp.einsum("kid,kjd->kij", own, Hlm)
+        H_un = update_mod._dense_h(Hcam, Hlm)            # [2K, D]
+        A_un = H_un @ state.P                            # [2K, D]
+        T_un = A_un @ H_un.T                             # [2K, 2K]
+        # per-slot 2x2 innovation: the diagonal 2x2 blocks of T_un + R
+        T_blocks = T_un.reshape(Kcap, 2, Kcap, 2)
+        S2 = (jnp.einsum("kikj->kij", T_blocks)
               + params.measurm_noise_var * jnp.eye(2, dtype=state.x.dtype))
         det = (S2[:, 0, 0] * S2[:, 1, 1] - S2[:, 0, 1] * S2[:, 1, 0])
         det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
@@ -232,7 +235,8 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
         if update_impl == 1:
             x_next, P_next, resid, x_upd = (
                 fused_mod.fused_update_health_predict(
-                    params, state.x, state.P, obs, obs_mask))
+                    params, state.x, state.P, obs, obs_mask,
+                    precomputed=(h, A_un, T_un)))
             state = state._replace(x=x_next, P=P_next)
         else:
             x, P, resid, _, _ = update_mod.one_point_ransac_update(

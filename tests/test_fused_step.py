@@ -91,6 +91,34 @@ def test_fused_negative_rho_substitution_parity():
     np.testing.assert_allclose(np.asarray(xf), np.asarray(xs), atol=1e-11)
 
 
+def test_fused_precomputed_path_identical():
+    """The precomputed (h, A_un, T_un) entry point (used by the imageseq loop,
+    which shares these with the NCC search-ellipse prediction) must produce
+    bitwise-identical results to the self-computing path: masking is an exact
+    0/1 row/col scaling."""
+    from surikatoko_tpu.models.monoslam import measure
+    from surikatoko_tpu.models.monoslam.update import _dense_h
+
+    params, state, obs, obs_mask = _setup()
+    # drop some observations so masking actually differs from identity
+    obs_mask = obs_mask.at[3].set(False).at[7].set(False)
+
+    h, Hcam, Hlm = measure.measurement_jacobians(params, state.x)
+    H_un = _dense_h(Hcam, Hlm)
+    A_un = H_un @ state.P
+    T_un = A_un @ H_un.T
+
+    x1, P1, r1, xu1 = fused_step.fused_update_health_predict(
+        params, state.x, state.P, obs, obs_mask)
+    x2, P2, r2, xu2 = fused_step.fused_update_health_predict(
+        params, state.x, state.P, obs, obs_mask,
+        precomputed=(h, A_un, T_un))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(P2),
+                               rtol=1e-12, atol=1e-14)
+
+
 def test_fused_symmetry_exact():
     """The fused P+ must be exactly symmetric by construction (no repair
     pass), like the Gram-form downdate it extends."""
