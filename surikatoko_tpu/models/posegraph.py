@@ -79,43 +79,83 @@ def graph_error(g: PoseGraph) -> jnp.ndarray:
     return jnp.sum(r * r)
 
 
+def _linearize(g: PoseGraph) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Residuals r [m] and Jacobian J [m, 6N] at the current poses, with
+    pose-0 columns zeroed (gauge pin)."""
+    N = g.R.shape[0]
+    dtype = g.t.dtype
+    z = jnp.zeros((N, 3), dtype)
+
+    def res_flat(dw, dt):
+        return edge_residuals(g, dw, dt).reshape(-1)
+
+    r = res_flat(z, z)
+    Jw, Jt = jax.jacfwd(res_flat, argnums=(0, 1))(z, z)
+    J = jnp.concatenate([Jw.reshape(r.shape[0], -1),
+                         Jt.reshape(r.shape[0], -1)], axis=1)  # [m, 6N]
+    # pin pose 0: zero its columns (dw0 at cols 0:3, dt0 at 3N:3N+3)
+    free = jnp.ones((2 * 3 * N,), dtype)
+    free = free.at[0:3].set(0.0).at[3 * N:3 * N + 3].set(0.0)
+    return r, J * free[None, :]
+
+
+def _solve_damped(g: PoseGraph, blocks, lam: jnp.ndarray) -> jnp.ndarray:
+    """-(JᵀJ + λI + pin-diag)⁻¹ Jᵀr — one damped GN step [6N]."""
+    N = g.R.shape[0]
+    dtype = g.t.dtype
+    r, J = blocks
+    H = J.T @ J + (lam + 1e-12) * jnp.eye(6 * N, dtype=dtype)
+    pin = jnp.zeros((6 * N,), dtype)
+    pin = pin.at[0:3].set(1.0).at[3 * N:3 * N + 3].set(1.0)
+    H = H + jnp.diag(pin)       # unit diagonal on pinned vars
+    return -jnp.linalg.solve(H, J.T @ r)
+
+
+def _apply_step(g: PoseGraph, d: jnp.ndarray) -> PoseGraph:
+    N = g.R.shape[0]
+    dw = d[: 3 * N].reshape(N, 3)
+    dt = d[3 * N:].reshape(N, 3)
+    R_new = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, g.R)
+    return g._replace(R=R_new, t=g.t + dt)
+
+
 def optimize_pose_graph(g: PoseGraph, iters: int = 20,
                         damping: float = 1e-6,
-                        max_damping: float = 1e8) -> PoseGraph:
+                        max_damping: float = 1e8,
+                        device_loop: bool = False) -> PoseGraph:
     """Levenberg-Marquardt over all poses; pose 0 pinned (gauge).
 
     Adaptive damping with the framework's x10/÷10 schedule (the BA loop's,
     reference bundle-adj-kanatani.cpp:841,:889): a rejected step raises
     lambda and retries from the same linearization, so far-from-linear
     initializations (large loop-closure residuals) converge instead of
-    stalling on the first overshoot."""
-    N = g.R.shape[0]
+    stalling on the first overshoot.
+
+    ``device_loop=True`` compiles the whole schedule as one program
+    (models/ba/lm_device.py — the same driver the BA uses): one dispatch for
+    the full optimization instead of 2 blocking host syncs per attempt, and
+    the linearization is cached across damping retries (the host path
+    recomputes an identical J after each rejection)."""
     dtype = g.t.dtype
+
+    if device_loop:
+        from surikatoko_tpu.models.ba import lm_device
+
+        def solve_fn(p, blocks, factor):
+            lam = jnp.maximum(factor, damping)   # host path floors λ too
+            d = _solve_damped(p, blocks, lam)
+            return d, jnp.zeros((), dtype), jnp.all(jnp.isfinite(d))
+
+        g_out, _code, _iters, _err = jax.jit(lambda g0: lm_device.run_lm_on_device(
+            g0, blocks_fn=_linearize, solve_fn=solve_fn,
+            apply_fn=lambda p, dX, _du: _apply_step(p, dX),
+            err_fn=graph_error, err_thresh=None, max_factor=max_damping,
+            max_iters=iters, initial_factor=damping))(g)
+        return g_out
 
     @jax.jit
     def lm_step(g: PoseGraph, lam: jnp.ndarray) -> PoseGraph:
-        z = jnp.zeros((N, 3), dtype)
-
-        def res_flat(dw, dt):
-            return edge_residuals(g, dw, dt).reshape(-1)
-
-        r = res_flat(z, z)
-        Jw, Jt = jax.jacfwd(res_flat, argnums=(0, 1))(z, z)
-        J = jnp.concatenate([Jw.reshape(r.shape[0], -1),
-                             Jt.reshape(r.shape[0], -1)], axis=1)  # [m, 6N]
-        # pin pose 0: zero its columns (dw0 at cols 0:3, dt0 at 3N:3N+3)
-        free = jnp.ones((2 * 3 * N,), dtype)
-        free = free.at[0:3].set(0.0).at[3 * N:3 * N + 3].set(0.0)
-        J = J * free[None, :]
-        H = J.T @ J + (lam + 1e-12) * jnp.eye(6 * N, dtype=dtype)
-        # unit diagonal on pinned vars
-        pin = 1.0 - free
-        H = H + jnp.diag(pin)
-        d = -jnp.linalg.solve(H, J.T @ r)
-        dw = d[: 3 * N].reshape(N, 3)
-        dt = d[3 * N:].reshape(N, 3)
-        R_new = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, g.R)
-        return g._replace(R=R_new, t=g.t + dt)
+        return _apply_step(g, _solve_damped(g, _linearize(g), lam))
 
     lam = damping
     err = float(graph_error(g))

@@ -79,6 +79,33 @@ def test_posegraph_exact_input_is_fixed_point():
     np.testing.assert_allclose(g2.t, t_gt, atol=1e-8)
 
 
+def test_posegraph_device_loop_matches_host(rng):
+    """device_loop=True (the BA's on-device LM driver over the pose graph)
+    must reach the same optimum as the host-driven schedule."""
+    n = 16
+    R_gt, t_gt = circle_poses(n)
+    Rs, ts, edges = [R_gt[0]], [t_gt[0]], []
+    for k in range(1, n):
+        rR, rt = rel(R_gt[k - 1], t_gt[k - 1], R_gt[k], t_gt[k])
+        rR_n = np.asarray(so3.exp(jnp.asarray(rng.normal(scale=0.02, size=3)))) @ rR
+        rt_n = rt + rng.normal(scale=0.04, size=3)
+        Rs.append(Rs[-1] @ rR_n)
+        ts.append(ts[-1] + Rs[-2] @ rt_n)
+        edges.append((k - 1, k, rR_n, rt_n, 1.0))
+    rR, rt = rel(R_gt[n - 1], t_gt[n - 1], R_gt[0], t_gt[0])
+    edges.append((n - 1, 0, rR, rt, 2.0))
+    g = make_pose_graph(np.stack(Rs), np.stack(ts), edges)
+
+    g_h = optimize_pose_graph(g, iters=25)
+    g_d = optimize_pose_graph(g, iters=25, device_loop=True)
+    err_h = float(graph_error(g_h))
+    err_d = float(graph_error(g_d))
+    assert err_d < float(graph_error(g)) * 1e-2
+    np.testing.assert_allclose(err_d, err_h, rtol=1e-6, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(g_d.t), np.asarray(g_h.t),
+                               atol=1e-6)
+
+
 def test_posegraph_converges_from_far_initialization():
     """Regression for the LM damping schedule: a loop-closure residual far
     outside the linear regime (endpoint ~90deg + units away) must still
