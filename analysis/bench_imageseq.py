@@ -52,13 +52,24 @@ def main() -> None:
     print(f"warmup: matched min={int(jnp.min(n))} max={int(jnp.max(n))} "
           f"err last={float(err[-1]):.3f}px")
 
+    # scalar-fetch round-trip (block_until_ready does not reliably block on
+    # the remote tunnel; a host fetch does), subtracted from the run
+    tiny = jax.jit(lambda v: jnp.sum(v))
+    _ = float(tiny(st.x))
+    rtts = []
+    for r in range(5):
+        t0 = time.perf_counter()
+        _ = float(tiny(st.x * (1.0 + r)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[2]
+
     cur = st
     t0 = time.perf_counter()
     for c in range(args.chunks):
         lo = 1 + ((c + 1) * args.chunk) % (F - args.chunk - 1)
         cur, out = run(cur, templates, sc, jnp.arange(lo, lo + args.chunk))
-    jax.block_until_ready(cur)
-    dt = time.perf_counter() - t0
+    _ = float(jnp.sum(cur.x))      # forces completion of the whole chain
+    dt = time.perf_counter() - t0 - rtt
     fps = args.chunks * args.chunk / dt
     print(f"imageseq on-device loop: {fps:.1f} frames/s "
           f"(K={args.capacity}, pallas={not args.no_pallas})")

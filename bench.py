@@ -54,6 +54,18 @@ def main() -> None:
     jax.block_until_ready(st)
     assert bool(jnp.all(jnp.isfinite(errs))), "non-finite residuals in bench"
 
+    # fetch round-trip of the remote tunnel (block_until_ready does not
+    # reliably block on remote execution; a scalar host fetch does — its
+    # ~25ms round-trip is measured here and subtracted from the run)
+    tiny = jax.jit(lambda v: jnp.sum(v))
+    _ = float(tiny(st.x))
+    rtts = []
+    for r in range(5):
+        t0 = time.perf_counter()
+        _ = float(tiny(st.x * (1.0 + r)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[2]
+
     n_chunks = 6
     cur = st
     t0 = time.perf_counter()
@@ -61,8 +73,8 @@ def main() -> None:
         lo = 1 + ((c + 1) * CHUNK) % (F - CHUNK - 1)
         cur, errs, _ = run(cur, sc, jnp.arange(lo, lo + CHUNK),
                            jax.random.PRNGKey(c + 2))
-    jax.block_until_ready(cur)
-    dt = time.perf_counter() - t0
+    _ = float(jnp.sum(cur.x))      # forces completion of the whole chain
+    dt = time.perf_counter() - t0 - rtt
 
     fps = n_chunks * CHUNK / dt
     print(json.dumps({

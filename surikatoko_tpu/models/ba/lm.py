@@ -173,7 +173,7 @@ class SparseBundleAdjustment:
 
     unity_comp_ind: int = 1
     optimize_intrinsics: bool = True
-    point_chunk: int = 512
+    point_chunk: int = 2048
     mesh: object = None          # jax.sharding.Mesh -> distributed solve
     pin_frames: tuple = ()       # fixed-keyframe BA
     device_loop: bool = False    # run the WHOLE LM as one compiled program

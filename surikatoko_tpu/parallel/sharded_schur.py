@@ -87,12 +87,12 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
                                      track_len: int, mesh: Mesh,
                                      unity_comp_ind: int = 1,
                                      optimize_intrinsics: bool = True,
-                                     point_chunk: int = 512,
+                                     point_chunk: int = 2048,
                                      pin_frames: tuple = ()):
-    """Distributed sparse Schur solve: point shards each scatter-add their
-    partial reduced system, one psum of [F,10,F,10] + rhs, replicated
-    preconditioned solve, local back-substitution. The at-scale (10k x 500)
-    configuration sharded over the mesh.
+    """Distributed sparse Schur solve: point shards each accumulate their
+    partial reduced system (Gram-form MXU matmuls), one psum of [F,10,F,10]
+    + rhs, replicated preconditioned solve, local back-substitution. The
+    at-scale (10k x 500) configuration sharded over the mesh.
 
     Takes (p_sparse: BAProblemSparse, blocks: SparseBlocks, hessian_factor)
     with point-major arrays sharded on axis 'lm'.
@@ -108,38 +108,45 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
     F = n_frames
 
     def kernel(E, Fpf, gp, fidx, G, gf, hessian_factor):
+        # Gram-form reduction (see models/ba/sparse.py): the local shard's
+        # -sum F^T E^-1 F accumulates as -B^T B with B = L^-1 F expanded
+        # into dense [3*pc, 10F] strips — one MXU matmul per point chunk.
         dtype = E.dtype
         fmask = _fvm(F, unity_comp_ind, optimize_intrinsics, pin_frames)
         E_d = _damp(E, hessian_factor)
         G_d = _fixed_var_identity(_damp(G, hessian_factor), fmask)
-        Einv = jnp.linalg.inv(E_d)
-        C = jnp.einsum("iab,ilbc->ilac", Einv, Fpf)
         Nl = Fpf.shape[0]
+        Lch = jnp.linalg.cholesky(E_d)
+        Bv = jax.scipy.linalg.solve_triangular(
+            Lch, Fpf.transpose(0, 2, 1, 3).reshape(Nl, 3, L * FRAME_VARS),
+            lower=True).reshape(Nl, 3, L, FRAME_VARS)
+        # rhs reduction rides the same factor: F^T Einv g = B^T (L^-1 g)
+        y = jax.scipy.linalg.solve_triangular(
+            Lch, gp[:, :, None], lower=True)[..., 0]        # [Nl,3]
+        Rv = jnp.einsum("ialb,ia->ilb", Bv, y)              # [Nl,L,10]
 
         pc = min(point_chunk, Nl)
         pad = (-Nl) % pc
-        Fp = jnp.pad(Fpf, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else Fpf
-        Cp = jnp.pad(C, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else C
+        Bp = jnp.pad(Bv, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else Bv
+        Rp = jnp.pad(Rv, ((0, pad), (0, 0), (0, 0))) if pad else Rv
         fp = jnp.pad(fidx, ((0, pad), (0, 0))) if pad else fidx
 
-        S0 = jnp.zeros((F, FRAME_VARS, F, FRAME_VARS), dtype)
+        S0 = jnp.zeros((F * FRAME_VARS, F * FRAME_VARS), dtype)
+        red0 = jnp.zeros((F, FRAME_VARS), dtype)
 
-        def chunk_body(c, S):
+        def chunk_body(c, carry):
+            S, red = carry
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * pc, pc)
-            Fc, Cc, fc = sl(Fp), sl(Cp), sl(fp)
-            contrib = jnp.einsum("ilab,imac->ilbmc", Fc, Cc)
-            fa = jnp.broadcast_to(fc[:, :, None], (pc, L, L)).reshape(-1)
-            fb = jnp.broadcast_to(fc[:, None, :], (pc, L, L)).reshape(-1)
-            vals = contrib.transpose(0, 1, 3, 2, 4).reshape(
-                -1, FRAME_VARS, FRAME_VARS)
-            return S.at[fa, :, fb, :].add(-vals)
+            Bc, Rc, fc = sl(Bp), sl(Rp), sl(fp)
+            # one-hot matmuls beat TPU scatter-add (see models/ba/sparse.py)
+            oh = jax.nn.one_hot(fc, F, dtype=dtype)         # [pc,L,F]
+            strip = jnp.einsum("ilf,ialb->iafb", oh, Bc)    # [pc,3,F,10]
+            Bm = strip.reshape(pc * 3, F * FRAME_VARS)
+            return S - Bm.T @ Bm, red + jnp.einsum("ilf,ilb->fb", oh, Rc)
 
-        S_part = jax.lax.fori_loop(0, Fp.shape[0] // pc, chunk_body, S0)
-        w = jnp.einsum("iab,ib->ia", Einv, gp)
-        red_part = jnp.zeros((F, FRAME_VARS), dtype)
-        red_part = red_part.at[fidx.reshape(-1)].add(
-            jnp.einsum("oab,oa->ob", Fpf.reshape(-1, 3, FRAME_VARS),
-                       jnp.broadcast_to(w[:, None, :], (Nl, L, 3)).reshape(-1, 3)))
+        S_part, red_part = jax.lax.fori_loop(
+            0, Bp.shape[0] // pc, chunk_body, (S0, red0))
+        S_part = S_part.reshape(F, FRAME_VARS, F, FRAME_VARS)
 
         S = jax.lax.psum(S_part, "lm")
         red = jax.lax.psum(red_part, "lm")
@@ -152,8 +159,9 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
         du = (dinv * cho_solve(cho_factor(S2p, lower=True), rhs * dinv)
               ).reshape(F, FRAME_VARS)
         du_g = du[fidx]
-        dX = -jnp.einsum("iab,ib->ia", Einv,
-                         gp + jnp.einsum("ilab,ilb->ia", Fpf, du_g))
+        # back-substitute through the same Cholesky (no batched inverse)
+        rhs_pt = gp + jnp.einsum("ilab,ilb->ia", Fpf, du_g)
+        dX = -cho_solve((Lch, True), rhs_pt[:, :, None])[..., 0]
         return dX, du
 
     smapped = shard_map(
