@@ -63,13 +63,18 @@ def main() -> None:
         rtts.append(time.perf_counter() - t0)
     rtt = sorted(rtts)[2]
 
-    cur = st
-    t0 = time.perf_counter()
-    for c in range(args.chunks):
-        lo = 1 + ((c + 1) * args.chunk) % (F - args.chunk - 1)
-        cur, out = run(cur, templates, sc, jnp.arange(lo, lo + args.chunk))
-    _ = float(jnp.sum(cur.x))      # forces completion of the whole chain
-    dt = time.perf_counter() - t0 - rtt
+    ts = []
+    for r in range(3):             # median of 3 runs rides out transients
+        cur = st._replace(x=st.x * (1.0 + 1e-9 * (r + 1)))
+        jax.block_until_ready(cur.x)
+        t0 = time.perf_counter()
+        for c in range(args.chunks):
+            lo = 1 + ((c + 1) * args.chunk) % (F - args.chunk - 1)
+            cur, out = run(cur, templates, sc,
+                           jnp.arange(lo, lo + args.chunk))
+        _ = float(jnp.sum(cur.x))  # forces completion of the whole chain
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[1] - rtt
     fps = args.chunks * args.chunk / dt
     print(f"imageseq on-device loop: {fps:.1f} frames/s "
           f"(K={args.capacity}, pallas={not args.no_pallas})")

@@ -51,29 +51,50 @@ def main() -> None:
 
     N = args.iters
 
+    # fetch round-trip: the remote tunnel memoizes identical executions and
+    # block_until_ready only acknowledges enqueue — every timing below uses
+    # fresh inputs + a scalar host fetch, minus this round-trip (CLAUDE.md)
+    tiny = jax.jit(lambda v: jnp.sum(v))
+    _ = float(tiny(state.x))
+    rtts = []
+    for r in range(5):
+        t0 = time.perf_counter()
+        _ = float(tiny(state.x * (1.0 + r)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[2]
+
     def timed(name, body, init):
         @jax.jit
         def run(init):
-            return jax.lax.scan(lambda c, _: (body(c), None), init,
-                                None, length=N)[0]
-        out = run(init)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = run(init)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+            out = jax.lax.scan(lambda c, _: (body(c), None), init,
+                               None, length=N)[0]
+            return jnp.sum(out[0]) + jnp.sum(out[1][:8])
+        _ = float(run(init))                    # compile + warmup
+        ts = []
+        for r in range(3):
+            fresh = (init[0] * (1.0 + 1e-9 * (r + 1)), init[1])
+            jax.block_until_ready(fresh)
+            t0 = time.perf_counter()
+            _ = float(run(fresh))
+            ts.append(time.perf_counter() - t0)
+        dt = sorted(ts)[1] - rtt
         print(f"{name:32s} {dt / N * 1e6:9.1f} us/iter")
-        return out
 
     # full frame (reference point)
     run_full = make_scan_runner(params, update_impl=1)
     frames = jnp.arange(1, 1 + N) % (sc.gt_cfw_R.shape[0] - 1)
     st, _, _ = run_full(state, sc, frames, jax.random.PRNGKey(1))
     jax.block_until_ready(st)
-    t0 = time.perf_counter()
-    st, _, _ = run_full(state, sc, frames, jax.random.PRNGKey(1))
-    jax.block_until_ready(st)
-    print(f"{'FULL frame_body':32s} {(time.perf_counter() - t0) / N * 1e6:9.1f} us/iter")
+    ts = []
+    for r in range(3):
+        st2 = state._replace(x=state.x * (1.0 + 1e-9 * (r + 1)))
+        jax.block_until_ready(st2.x)
+        t0 = time.perf_counter()
+        st, _, _ = run_full(st2, sc, frames, jax.random.PRNGKey(1))
+        _ = float(jnp.sum(st.x))
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[1] - rtt
+    print(f"{'FULL frame_body':32s} {dt / N * 1e6:9.1f} us/iter")
 
     x, P = state.x, state.P
 
