@@ -76,6 +76,9 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--noise_pix", type=float, default=0.5)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--device_loop", action="store_true",
+                    help="run the WHOLE LM compiled on device (one dispatch;"
+                         " no per-iteration host round-trips)")
     args = ap.parse_args()
 
     import jax
@@ -97,14 +100,45 @@ def main() -> int:
     err_fn = jax.jit(sparse.reproj_error)
     blocks_fn = jax.jit(sparse.compute_blocks)
 
+    # banded Gram reduction when the track structure is mostly frame-local
+    plan = sparse.plan_bands(ps.frame_idx, ps.obs_mask,
+                             point_chunk=2048, n_frames=ps.n_frames)
+    if plan is not None:
+        print(f"banded Schur: band width {plan.band_width} of "
+              f"{ps.n_frames} frames, {plan.n_banded_chunks} banded + "
+              f"{(plan.ext_idx.shape[0] - plan.n_banded_chunks * plan.point_chunk) // plan.overflow_chunk} overflow chunks")
+
     @jax.jit
     def lm_iter(p, factor):
         b = sparse.compute_blocks(p)
-        dX, du, ok = sparse.solve_corrections_schur_sparse(p, b, factor)
+        if plan is not None:
+            dX, du, ok = sparse.solve_corrections_schur_banded(
+                p, b, factor, plan)
+        else:
+            dX, du, ok = sparse.solve_corrections_schur_sparse(p, b, factor)
         return sparse.apply_corrections(p, dX, du), ok
 
     err0 = float(err_fn(ps))
     print(f"initial err={err0:.6g} ({(err0/max(n_obs,1))**0.5:.3f} pix/obs rms)")
+
+    if args.device_loop:
+        from surikatoko_tpu.models.ba import SparseBundleAdjustment, TermCriteria
+        ba = SparseBundleAdjustment(device_loop=True)
+        term = TermCriteria(allowed_reproj_err_rel_change=None,
+                            max_iters=args.iters)
+        t0 = time.time()
+        ok, ps1 = ba.compute(ps, term)       # compile + run
+        print(f"compile+full LM: {time.time()-t0:.1f}s "
+              f"iters={ba.iterations} reason='{ba.stop_reason}'")
+        t0 = time.time()
+        ok, ps1 = ba.compute(ps._replace(
+            points=ps.points * (1.0 + 1e-9)), term)
+        dt = time.time() - t0
+        e1 = float(err_fn(ps1))
+        print(f"{ba.iterations} LM iters in ONE dispatch: {dt:.2f}s = "
+              f"{ba.iterations/dt:.2f} iters/s "
+              f"(final rms {(e1/max(n_obs,1))**0.5:.4f} pix)")
+        return 0
 
     # warmup/compile
     t0 = time.time()

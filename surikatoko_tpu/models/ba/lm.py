@@ -177,6 +177,9 @@ class SparseBundleAdjustment:
     mesh: object = None          # jax.sharding.Mesh -> distributed solve
     pin_frames: tuple = ()       # fixed-keyframe BA
     device_loop: bool = False    # run the WHOLE LM as one compiled program
+    band: bool = True            # banded Schur reduction when the
+                                 # observation graph is frame-local
+                                 # (sparse.plan_bands; auto-fallback)
     stop_reason: str = field(default="", init=False)
     iterations: int = field(default=0, init=False)
 
@@ -194,6 +197,34 @@ class SparseBundleAdjustment:
         self._dev_run = None
         self._dev_key = None
 
+    def _plan_band(self, p):
+        """Host-side banding plan + jitted local solver (once per problem;
+        the observation structure does not change across LM iterations)."""
+        pins = tuple(int(f) for f in self.pin_frames)
+        plan = None
+        if self.band and self.mesh is None:
+            plan = self._sp.plan_bands(
+                p.frame_idx, p.obs_mask, self.point_chunk, p.n_frames)
+        sig = None if plan is None else (
+            plan.band_width, plan.n_banded_chunks, plan.overflow_chunk,
+            plan.ext_idx.tobytes())
+        if getattr(self, "_band_sig", ...) == sig:
+            return
+        self._band_sig = sig
+        self._dev_run = None     # the compiled device loop bakes the solver in
+        if plan is not None:
+            self._local_solver = jax.jit(functools.partial(
+                self._sp.solve_corrections_schur_banded, plan=plan,
+                unity_comp_ind=self.unity_comp_ind,
+                optimize_intrinsics=self.optimize_intrinsics,
+                pin_frames=pins))
+        else:
+            self._local_solver = jax.jit(functools.partial(
+                self._sp.solve_corrections_schur_sparse,
+                unity_comp_ind=self.unity_comp_ind,
+                optimize_intrinsics=self.optimize_intrinsics,
+                point_chunk=self.point_chunk, pin_frames=pins))
+
     def _solve(self, p, blocks, factor):
         if self.mesh is not None:
             if self._solver is None:
@@ -206,12 +237,13 @@ class SparseBundleAdjustment:
                     self.point_chunk,
                     tuple(int(f) for f in self.pin_frames))
             return self._solver(p, blocks, factor)
-        return self._sp.solve_corrections_schur_sparse(
-            p, blocks, factor, self.unity_comp_ind, self.optimize_intrinsics,
-            self.point_chunk, tuple(int(f) for f in self.pin_frames))
+        if not hasattr(self, "_local_solver"):
+            self._plan_band(p)
+        return self._local_solver(p, blocks, factor)
 
     def compute(self, p, term_crit: TermCriteria | None = None):
         term_crit = term_crit or TermCriteria()
+        self._plan_band(p)
         if self.device_loop:
             pins = tuple(int(f) for f in self.pin_frames)
             blocks_fn = functools.partial(

@@ -226,6 +226,180 @@ def solve_corrections_schur_sparse(
     return dX, du, ok
 
 
+class BandPlan(NamedTuple):
+    """Host-computed plan for the banded Schur reduction (plan_bands)."""
+    ext_idx: object          # [Npad] int32: sorted point index, or Np (pad)
+    band_width: int          # W: frames per banded chunk window
+    n_banded_chunks: int     # banded chunks of size point_chunk
+    overflow_chunk: int      # chunk size of the full-width overflow loop
+    point_chunk: int
+
+
+def plan_bands(frame_idx, obs_mask, point_chunk: int, n_frames: int,
+               max_band_frac: float = 0.5, max_overflow_frac: float = 0.5):
+    """Host-side banding plan for :func:`solve_corrections_schur_banded`.
+
+    Sorting points by their first observed frame makes each point chunk
+    touch only a narrow frame band (bundle-adjustment observation graphs are
+    frame-local except for loop closures). Points whose own track span
+    exceeds ``max_band_frac * n_frames`` (loop-closure / wrap-around tracks)
+    form an OVERFLOW group the solver processes with small full-width
+    chunks — banding only needs the majority to be local. Both groups are
+    padded to whole chunks via an extended index (pad entries point past the
+    last point and read as zeros).
+
+    Returns a :class:`BandPlan`, or None when fewer than
+    ``1 - max_overflow_frac`` of the points are local or the band is no
+    narrower than the full width. Pure numpy; call once per problem (the
+    observation structure is constant across LM iterations)."""
+    import numpy as np
+
+    fi = np.asarray(frame_idx)
+    m = np.asarray(obs_mask)
+    Np = fi.shape[0]
+    fmin = np.where(m, fi, n_frames).min(axis=1)
+    fmax = np.where(m, fi, -1).max(axis=1)
+    fmin = np.where(fmax < 0, 0, fmin)      # unobserved points: trivial band
+    fmax = np.maximum(fmax, fmin)
+    span = fmax - fmin + 1
+    overflow = span > max_band_frac * n_frames
+    if overflow.mean() > max_overflow_frac:
+        return None
+    loc = np.where(~overflow)[0]
+    ovf = np.where(overflow)[0]
+    if len(loc) == 0:
+        return None
+    loc = loc[np.argsort(fmin[loc], kind="stable")]
+    pc = min(point_chunk, Np)
+    nb = -(-len(loc) // pc)
+    pc_ovf = min(pc, 256) if len(ovf) else pc
+    no = -(-len(ovf) // pc_ovf)
+    ext = np.full(nb * pc + no * pc_ovf, Np, np.int32)
+    ext[:len(loc)] = loc
+    ext[nb * pc:nb * pc + len(ovf)] = ovf
+    W = 1
+    for c in range(nb):
+        sel = ext[c * pc:(c + 1) * pc]
+        sel = sel[sel < Np]
+        W = max(W, int(fmax[sel].max() - fmin[sel].min() + 1))
+    if W >= n_frames:
+        return None
+    return BandPlan(ext_idx=ext, band_width=W, n_banded_chunks=nb,
+                    overflow_chunk=pc_ovf, point_chunk=pc)
+
+
+def solve_corrections_schur_banded(
+    p: BAProblemSparse, blocks: SparseBlocks, hessian_factor,
+    plan: BandPlan,
+    unity_comp_ind: int = 1, optimize_intrinsics: bool = True,
+    pin_frames: tuple = (),
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Banded variant of :func:`solve_corrections_schur_sparse`.
+
+    Points are processed in first-observed-frame order (:func:`plan_bands`),
+    so each banded chunk's Gram strip is [3*pc, 10*W] instead of
+    [3*pc, 10*F] and its B^T B block lands in the reduced system via one
+    dynamic-slice update — cutting the reduction FLOPs by (F/W)^2 per chunk
+    (~18x at the 10k x 500 / W~120 configuration) while computing the exact
+    same S. Loop-closure / wrap-around tracks form a small overflow tail
+    processed by full-width chunks (same math, no band); pad entries of the
+    extended index read as zero rows and contribute nothing."""
+    Np, L = blocks.Fpf.shape[0], blocks.Fpf.shape[1]
+    F = p.n_frames
+    W = int(plan.band_width)
+    pc = int(plan.point_chunk)
+    pco = int(plan.overflow_chunk)
+    nb = int(plan.n_banded_chunks)
+    ext = jnp.asarray(plan.ext_idx)
+    Next = ext.shape[0]
+    no = (Next - nb * pc) // pco            # overflow chunks
+    dtype = blocks.E.dtype
+    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics, pin_frames)
+
+    # gather into extended (group-padded) order; sentinel row Np reads as
+    # zeros (identity for E so its Cholesky stays finite)
+    E1 = jnp.concatenate(
+        [_damp(blocks.E, hessian_factor),
+         jnp.eye(3, dtype=dtype)[None]], axis=0)[ext]
+    Fpf_s = jnp.concatenate(
+        [blocks.Fpf, jnp.zeros((1, L, 3, FRAME_VARS), dtype)], axis=0)[ext]
+    gp_s = jnp.concatenate(
+        [blocks.gp, jnp.zeros((1, 3), dtype)], axis=0)[ext]
+    fidx_s = jnp.concatenate(
+        [p.frame_idx, jnp.zeros((1, L), p.frame_idx.dtype)], axis=0)[ext]
+    mask_s = jnp.concatenate(
+        [p.obs_mask, jnp.zeros((1, L), bool)], axis=0)[ext]
+    G = _fixed_var_identity(_damp(blocks.G, hessian_factor), fmask)
+
+    Lch = jnp.linalg.cholesky(E1)
+    Bv = jax.scipy.linalg.solve_triangular(
+        Lch, Fpf_s.transpose(0, 2, 1, 3).reshape(Next, 3, L * FRAME_VARS),
+        lower=True).reshape(Next, 3, L, FRAME_VARS)
+    y = jax.scipy.linalg.solve_triangular(
+        Lch, gp_s[:, :, None], lower=True)[..., 0]
+    Rv = jnp.einsum("ialb,ia->ilb", Bv, y)
+
+    # per-point first observed frame (sorted ascending within the banded
+    # group by construction; pads read F-1 but carry zero rows)
+    fmin_s = jnp.min(jnp.where(mask_s, fidx_s, F), axis=1)
+    fmin_s = jnp.minimum(fmin_s, F - 1)
+
+    S0 = jnp.zeros((F * FRAME_VARS, F * FRAME_VARS), dtype)
+    red0 = jnp.zeros((F, FRAME_VARS), dtype)
+
+    def banded_body(c, carry):
+        S, red = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * pc, pc)
+        Bc, Rc, fc = sl(Bv), sl(Rv), sl(fidx_s)
+        # chunk band starts at the chunk's smallest fmin (sorted -> first
+        # element); clamp so the W-wide window stays inside [0, F)
+        base = jnp.minimum(fmin_s[c * pc], F - W)
+        # masked obs have fidx 0: fc - base may go negative there, and
+        # one_hot maps out-of-range to an all-zero row — harmless because
+        # the matching Bv/Rv rows are exact zeros too
+        oh = jax.nn.one_hot(fc - base, W, dtype=dtype)      # [pc,L,W]
+        strip = jnp.einsum("ilf,ialb->iafb", oh, Bc)        # [pc,3,W,10]
+        Bm = strip.reshape(pc * 3, W * FRAME_VARS)
+        b10 = FRAME_VARS * base
+        zero = jnp.zeros((), base.dtype)
+        cur = jax.lax.dynamic_slice(
+            S, (b10, b10), (FRAME_VARS * W, FRAME_VARS * W))
+        S = jax.lax.dynamic_update_slice(S, cur + Bm.T @ Bm, (b10, b10))
+        cur_r = jax.lax.dynamic_slice(red, (base, zero), (W, FRAME_VARS))
+        red = jax.lax.dynamic_update_slice(
+            red, cur_r + jnp.einsum("ilf,ilb->fb", oh, Rc), (base, zero))
+        return S, red
+
+    def full_body(d, carry):
+        # overflow group (loop-closure tracks): small full-width chunks
+        S, red = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, nb * pc + d * pco, pco)
+        Bc, Rc, fc = sl(Bv), sl(Rv), sl(fidx_s)
+        oh = jax.nn.one_hot(fc, F, dtype=dtype)             # [pco,L,F]
+        strip = jnp.einsum("ilf,ialb->iafb", oh, Bc)        # [pco,3,F,10]
+        Bm = strip.reshape(pco * 3, F * FRAME_VARS)
+        return S + Bm.T @ Bm, red + jnp.einsum("ilf,ilb->fb", oh, Rc)
+
+    carry = jax.lax.fori_loop(0, nb, banded_body, (S0, red0))
+    Sg, red = jax.lax.fori_loop(0, no, full_body, carry)
+    S2 = (jnp.einsum("fab,fg->fagb", G, jnp.eye(F, dtype=dtype))
+          .reshape(F * FRAME_VARS, F * FRAME_VARS) - Sg)
+
+    rhs = (-(blocks.gf - red)).reshape(F * FRAME_VARS)
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(S2)), 1e-12))
+    dinv = 1.0 / d
+    S2p = S2 * dinv[:, None] * dinv[None, :]
+    du = (dinv * cho_solve(cho_factor(S2p, lower=True), rhs * dinv)
+          ).reshape(F, FRAME_VARS)
+    du_g = du[fidx_s]
+    rhs_pt = gp_s + jnp.einsum("ilab,ilb->ia", Fpf_s, du_g)
+    dX_s = -cho_solve((Lch, True), rhs_pt[:, :, None])[..., 0]
+    # un-permute; writes through pad entries land on the sentinel row
+    dX = jnp.zeros((Np + 1, 3), dtype).at[ext].set(dX_s)[:Np]
+    ok = jnp.all(jnp.isfinite(du)) & jnp.all(jnp.isfinite(dX))
+    return dX, du, ok
+
+
 def apply_corrections(p: BAProblemSparse, dX, du) -> BAProblemSparse:
     from surikatoko_tpu.models.ba.problem import BAProblem
 
