@@ -202,6 +202,19 @@ class SparseBundleAdjustment:
         the observation structure does not change across LM iterations)."""
         pins = tuple(int(f) for f in self.pin_frames)
         plan = None
+        if self.band and self.mesh is not None:
+            plan = self._sp.plan_bands_sharded(
+                p.frame_idx, p.obs_mask, self.mesh.devices.size,
+                self.point_chunk, p.n_frames)
+            sig = None if plan is None else (
+                plan.band_width, plan.n_banded_chunks, plan.overflow_chunk,
+                plan.ext_idx.tobytes())
+            if getattr(self, "_band_sig", ...) != sig:
+                self._band_sig = sig
+                self._dev_run = None
+                self._solver = None          # rebuild with the new plan
+                self._mesh_band_plan = plan
+            return
         if self.band and self.mesh is None:
             plan = self._sp.plan_bands(
                 p.frame_idx, p.obs_mask, self.point_chunk, p.n_frames)
@@ -235,7 +248,8 @@ class SparseBundleAdjustment:
                     p.n_points, p.n_frames, p.track_len, self.mesh,
                     self.unity_comp_ind, self.optimize_intrinsics,
                     self.point_chunk,
-                    tuple(int(f) for f in self.pin_frames))
+                    tuple(int(f) for f in self.pin_frames),
+                    band_plan=getattr(self, "_mesh_band_plan", None))
             return self._solver(p, blocks, factor)
         if not hasattr(self, "_local_solver"):
             self._plan_band(p)

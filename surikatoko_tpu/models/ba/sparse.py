@@ -288,24 +288,56 @@ def plan_bands(frame_idx, obs_mask, point_chunk: int, n_frames: int,
                     overflow_chunk=pc_ovf, point_chunk=pc)
 
 
-def solve_corrections_schur_banded(
-    p: BAProblemSparse, blocks: SparseBlocks, hessian_factor,
-    plan: BandPlan,
-    unity_comp_ind: int = 1, optimize_intrinsics: bool = True,
-    pin_frames: tuple = (),
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Banded variant of :func:`solve_corrections_schur_sparse`.
+def plan_bands_sharded(frame_idx, obs_mask, n_dev: int, point_chunk: int,
+                       n_frames: int, **kw):
+    """Per-shard banding plans for the distributed solver: points are
+    sharded in contiguous blocks over the mesh, so each shard gets its own
+    first-frame sort, padded to COMMON chunk counts (shard_map needs one
+    static program). Returns a BandPlan whose ext_idx is [n_dev, Npad] of
+    LOCAL indices (sentinel = local Np), or None when any shard refuses."""
+    import numpy as np
 
-    Points are processed in first-observed-frame order (:func:`plan_bands`),
-    so each banded chunk's Gram strip is [3*pc, 10*W] instead of
-    [3*pc, 10*F] and its B^T B block lands in the reduced system via one
-    dynamic-slice update — cutting the reduction FLOPs by (F/W)^2 per chunk
-    (~18x at the 10k x 500 / W~120 configuration) while computing the exact
-    same S. Loop-closure / wrap-around tracks form a small overflow tail
-    processed by full-width chunks (same math, no band); pad entries of the
-    extended index read as zero rows and contribute nothing."""
-    Np, L = blocks.Fpf.shape[0], blocks.Fpf.shape[1]
-    F = p.n_frames
+    fi = np.asarray(frame_idx)
+    m = np.asarray(obs_mask)
+    Np = fi.shape[0]
+    assert Np % n_dev == 0
+    Nl = Np // n_dev
+    plans = []
+    for d in range(n_dev):
+        pl = plan_bands(fi[d * Nl:(d + 1) * Nl], m[d * Nl:(d + 1) * Nl],
+                        point_chunk, n_frames, **kw)
+        if pl is None:
+            return None
+        plans.append(pl)
+    pc = plans[0].point_chunk
+    pco = min(pl.overflow_chunk for pl in plans)
+    W = max(pl.band_width for pl in plans)
+    nb = max(pl.n_banded_chunks for pl in plans)
+    n_ovf = [int((pl.ext_idx[pl.n_banded_chunks * pl.point_chunk:] < Nl)
+                 .sum()) for pl in plans]
+    no = max(-(-c // pco) if c else 0 for c in n_ovf)
+    Npad = nb * pc + no * pco
+    ext = np.full((n_dev, Npad), Nl, np.int32)
+    for d, pl in enumerate(plans):
+        nbl = pl.n_banded_chunks * pl.point_chunk
+        ext[d, :nbl] = pl.ext_idx[:nbl]
+        ovl = pl.ext_idx[nbl:]
+        ovl = ovl[ovl < Nl]
+        ext[d, nb * pc:nb * pc + len(ovl)] = ovl
+    return BandPlan(ext_idx=ext, band_width=W, n_banded_chunks=nb,
+                    overflow_chunk=pco, point_chunk=pc)
+
+
+def _banded_reduction(E_d, Fpf, gp, frame_idx, obs_mask, plan: BandPlan,
+                      F: int):
+    """Gram reduction over one point set in banded (extended) order.
+
+    Returns (Sg [10F,10F], red [F,10], Lch, Fpf_s, gp_s, fidx_s, ext) where
+    the *_s arrays and the per-point Cholesky factor are in extended order
+    for back-substitution, and ``ext`` maps extended rows to original point
+    indices (sentinel Np for pads). Shared by the local solver and the
+    per-shard body of the distributed one."""
+    Np, L = Fpf.shape[0], Fpf.shape[1]
     W = int(plan.band_width)
     pc = int(plan.point_chunk)
     pco = int(plan.overflow_chunk)
@@ -313,23 +345,18 @@ def solve_corrections_schur_banded(
     ext = jnp.asarray(plan.ext_idx)
     Next = ext.shape[0]
     no = (Next - nb * pc) // pco            # overflow chunks
-    dtype = blocks.E.dtype
-    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics, pin_frames)
+    dtype = E_d.dtype
 
     # gather into extended (group-padded) order; sentinel row Np reads as
     # zeros (identity for E so its Cholesky stays finite)
-    E1 = jnp.concatenate(
-        [_damp(blocks.E, hessian_factor),
-         jnp.eye(3, dtype=dtype)[None]], axis=0)[ext]
+    E1 = jnp.concatenate([E_d, jnp.eye(3, dtype=dtype)[None]], axis=0)[ext]
     Fpf_s = jnp.concatenate(
-        [blocks.Fpf, jnp.zeros((1, L, 3, FRAME_VARS), dtype)], axis=0)[ext]
-    gp_s = jnp.concatenate(
-        [blocks.gp, jnp.zeros((1, 3), dtype)], axis=0)[ext]
+        [Fpf, jnp.zeros((1, L, 3, FRAME_VARS), dtype)], axis=0)[ext]
+    gp_s = jnp.concatenate([gp, jnp.zeros((1, 3), dtype)], axis=0)[ext]
     fidx_s = jnp.concatenate(
-        [p.frame_idx, jnp.zeros((1, L), p.frame_idx.dtype)], axis=0)[ext]
+        [frame_idx, jnp.zeros((1, L), frame_idx.dtype)], axis=0)[ext]
     mask_s = jnp.concatenate(
-        [p.obs_mask, jnp.zeros((1, L), bool)], axis=0)[ext]
-    G = _fixed_var_identity(_damp(blocks.G, hessian_factor), fmask)
+        [obs_mask, jnp.zeros((1, L), bool)], axis=0)[ext]
 
     Lch = jnp.linalg.cholesky(E1)
     Bv = jax.scipy.linalg.solve_triangular(
@@ -382,6 +409,34 @@ def solve_corrections_schur_banded(
 
     carry = jax.lax.fori_loop(0, nb, banded_body, (S0, red0))
     Sg, red = jax.lax.fori_loop(0, no, full_body, carry)
+    return Sg, red, Lch, Fpf_s, gp_s, fidx_s, ext
+
+
+def solve_corrections_schur_banded(
+    p: BAProblemSparse, blocks: SparseBlocks, hessian_factor,
+    plan: BandPlan,
+    unity_comp_ind: int = 1, optimize_intrinsics: bool = True,
+    pin_frames: tuple = (),
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Banded variant of :func:`solve_corrections_schur_sparse`.
+
+    Points are processed in first-observed-frame order (:func:`plan_bands`),
+    so each banded chunk's Gram strip is [3*pc, 10*W] instead of
+    [3*pc, 10*F] and its B^T B block lands in the reduced system via one
+    dynamic-slice update — cutting the reduction FLOPs by (F/W)^2 per chunk
+    (~18x at the 10k x 500 / W~120 configuration) while computing the exact
+    same S. Loop-closure / wrap-around tracks form a small overflow tail
+    processed by full-width chunks (same math, no band); pad entries of the
+    extended index read as zero rows and contribute nothing."""
+    Np = blocks.Fpf.shape[0]
+    F = p.n_frames
+    dtype = blocks.E.dtype
+    fmask = frame_var_mask(F, unity_comp_ind, optimize_intrinsics, pin_frames)
+    G = _fixed_var_identity(_damp(blocks.G, hessian_factor), fmask)
+
+    E_d = _damp(blocks.E, hessian_factor)
+    Sg, red, Lch, Fpf_s, gp_s, fidx_s, ext = _banded_reduction(
+        E_d, blocks.Fpf, blocks.gp, p.frame_idx, p.obs_mask, plan, F)
     S2 = (jnp.einsum("fab,fg->fagb", G, jnp.eye(F, dtype=dtype))
           .reshape(F * FRAME_VARS, F * FRAME_VARS) - Sg)
 

@@ -88,7 +88,8 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
                                      unity_comp_ind: int = 1,
                                      optimize_intrinsics: bool = True,
                                      point_chunk: int = 2048,
-                                     pin_frames: tuple = ()):
+                                     pin_frames: tuple = (),
+                                     band_plan=None):
     """Distributed sparse Schur solve: point shards each accumulate their
     partial reduced system (Gram-form MXU matmuls), one psum of [F,10,F,10]
     + rhs, replicated preconditioned solve, local back-substitution. The
@@ -96,6 +97,11 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
 
     Takes (p_sparse: BAProblemSparse, blocks: SparseBlocks, hessian_factor)
     with point-major arrays sharded on axis 'lm'.
+
+    ``band_plan`` (sparse.plan_bands_sharded) switches each shard to the
+    banded reduction: per-shard first-frame sort, W-frame strips, small
+    full-width overflow chunks — same psum, ~10x fewer local FLOPs on
+    frame-local problems.
     """
     import functools as _ft
 
@@ -163,6 +169,54 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
         rhs_pt = gp + jnp.einsum("ilab,ilb->ia", Fpf, du_g)
         dX = -cho_solve((Lch, True), rhs_pt[:, :, None])[..., 0]
         return dX, du
+
+    def kernel_banded(E, Fpf, gp, fidx, mask, ext, G, gf, hessian_factor):
+        dtype = E.dtype
+        fmask = _fvm(F, unity_comp_ind, optimize_intrinsics, pin_frames)
+        E_d = _damp(E, hessian_factor)
+        G_d = _fixed_var_identity(_damp(G, hessian_factor), fmask)
+        local_plan = band_plan._replace(ext_idx=ext[0])   # this shard's map
+        Sg, red_part, Lch, Fpf_s, gp_s, fidx_s, exti = _sp._banded_reduction(
+            E_d, Fpf, gp, fidx, mask, local_plan, F)
+
+        Sg = jax.lax.psum(Sg, "lm")
+        red = jax.lax.psum(red_part, "lm")
+        S2 = (jnp.einsum("fab,fg->fagb", G_d, jnp.eye(F, dtype=dtype))
+              .reshape(F * FRAME_VARS, F * FRAME_VARS) - Sg)
+        rhs = (-(gf - red)).reshape(F * FRAME_VARS)
+        d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(S2)), 1e-12))
+        dinv = 1.0 / d
+        S2p = S2 * dinv[:, None] * dinv[None, :]
+        du = (dinv * cho_solve(cho_factor(S2p, lower=True), rhs * dinv)
+              ).reshape(F, FRAME_VARS)
+        du_g = du[fidx_s]
+        rhs_pt = gp_s + jnp.einsum("ilab,ilb->ia", Fpf_s, du_g)
+        dX_s = -cho_solve((Lch, True), rhs_pt[:, :, None])[..., 0]
+        Nl = Fpf.shape[0]
+        dX = jnp.zeros((Nl + 1, 3), dtype).at[exti].set(dX_s)[:Nl]
+        return dX, du
+
+    if band_plan is not None:
+        ext_all = jnp.asarray(band_plan.ext_idx)          # [n_dev, Npad]
+        smapped_b = shard_map(
+            kernel_banded,
+            mesh=mesh,
+            in_specs=(P("lm"), P("lm"), P("lm"), P("lm"), P("lm"),
+                      P("lm"), P(), P(), P()),
+            out_specs=(P("lm"), P()),
+            check_rep=False,
+        )
+
+        @jax.jit
+        def solve(p_sparse, blocks, hessian_factor):
+            hf = jnp.asarray(hessian_factor, blocks.E.dtype)
+            dX, du = smapped_b(blocks.E, blocks.Fpf, blocks.gp,
+                               p_sparse.frame_idx, p_sparse.obs_mask,
+                               ext_all, blocks.G, blocks.gf, hf)
+            ok = jnp.all(jnp.isfinite(du)) & jnp.all(jnp.isfinite(dX))
+            return dX, du, ok
+
+        return solve
 
     smapped = shard_map(
         kernel,
