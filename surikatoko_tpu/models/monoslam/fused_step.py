@@ -85,8 +85,12 @@ def fused_update_health_predict(
         S2 = (T_un * (m2[:, None] * m2[None, :])
               + r_var * jnp.eye(2 * Kcap, dtype=dtype))
     C = jnp.linalg.cholesky(S2)
-    B = solve_triangular(C, A2, lower=True)             # [2K, D]
-    y = solve_triangular(C, resid.reshape(2 * Kcap), lower=True)
+    # one trsm for both the whitened gain and the whitened residual (the
+    # 2Kx2K triangular solve is latency-bound; batching the RHS is free)
+    By = solve_triangular(
+        C, jnp.concatenate([A2, resid.reshape(2 * Kcap, 1)], axis=1),
+        lower=True)
+    B, y = By[:, :-1], By[:, -1]                        # [2K,D], [2K]
     x1 = x + B.T @ y
 
     # --- keep mask from diag(P - B^T B), no P1 materialization ---
