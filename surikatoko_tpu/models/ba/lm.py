@@ -255,6 +255,20 @@ class SparseBundleAdjustment:
             self._plan_band(p)
         return self._local_solver(p, blocks, factor)
 
+    def compute_inplace(self, p, term_crit: TermCriteria | None = None):
+        """Full pipeline mirroring :meth:`BundleAdjustment.compute_inplace`:
+        normalize gauge, optimize, revert. The normalization functions only
+        touch points/cfw_R/cfw_t, so they apply to BAProblemSparse
+        unchanged (reference SceneNormalizer, bundle-adj-kanatani.cpp:123)."""
+        term_crit = term_crit or TermCriteria()
+        if not normalize.can_normalize(p, self.unity_comp_ind):
+            self.stop_reason = "cannot normalize (zero cam0-cam1 shift)"
+            return False, p
+        p_norm, ns = normalize.normalize_scene(
+            p, unity_comp_ind=self.unity_comp_ind)
+        ok, p_opt = self.compute(p_norm, term_crit)
+        return ok, normalize.revert_normalization(p_opt, ns)
+
     def compute(self, p, term_crit: TermCriteria | None = None):
         term_crit = term_crit or TermCriteria()
         self._plan_band(p)

@@ -44,6 +44,35 @@ from surikatoko_tpu.models.monoslam.state import (
 _N = CAM_STATE_COMPS
 
 
+def camera_epilogue(params: MonoSlamParams, x1: jnp.ndarray, Kcap: int
+                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """State-side epilogue of a frame: negative-inverse-depth substitution
+    (davison-mono-slam.cpp:1713), quaternion renormalization with its
+    covariance Jacobian folded in (:1652), and the kinematic predict (:583).
+    Returns (x_next, Cp, G) where Cp is W's 13x13 camera block (transition
+    Jacobian with the renorm Jacobian folded) and G the noise injector.
+    Shared by the single-chip fused step and the landmark-sharded one
+    (parallel/sharded_ekf.make_sharded_fused_step)."""
+    dtype = x1.dtype
+    if params.sal_pnt_repres == REPRES_SPHERICAL:
+        from surikatoko_tpu.models.monoslam import health as health_mod
+        x1s, _ = health_mod.substitute_negative_inv_rho(
+            x1, params.sal_pnt_negative_inv_rho_substitute, Kcap)
+    else:
+        x1s = x1
+    q = x1s[3:7]
+    qn = jnp.linalg.norm(q)
+    nq = q / qn
+    Jq = (jnp.eye(4, dtype=dtype) - jnp.outer(nq, nq)) / qn
+    x2 = x1s.at[3:7].set(nq)
+    cam13 = x2[:_N]
+    new_cam = predict_mod.predict_camera(params, cam13)
+    F, G = predict_mod.camera_transition_jacobians(params, cam13)
+    Cp = F.at[:, 3:7].set(F[:, 3:7] @ Jq)               # W's 13x13 block
+    x_next = x2.at[:_N].set(new_cam)
+    return x_next, Cp, G
+
+
 def fused_update_health_predict(
     params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
     obs: jnp.ndarray, obs_mask: jnp.ndarray,
@@ -97,23 +126,7 @@ def fused_update_health_predict(
     keep = ((jnp.diag(P) - jnp.sum(B * B, axis=0)) >= 0).astype(dtype)
     kc, km = keep[:_N], keep[_N:]
 
-    # --- x path: rho substitution + quat renorm + kinematic predict ---
-    if params.sal_pnt_repres == REPRES_SPHERICAL:
-        from surikatoko_tpu.models.monoslam import health as health_mod
-        x1s, _ = health_mod.substitute_negative_inv_rho(
-            x1, params.sal_pnt_negative_inv_rho_substitute, Kcap)
-    else:
-        x1s = x1
-    q = x1s[3:7]
-    qn = jnp.linalg.norm(q)
-    nq = q / qn
-    Jq = (jnp.eye(4, dtype=dtype) - jnp.outer(nq, nq)) / qn
-    x2 = x1s.at[3:7].set(nq)
-    cam13 = x2[:_N]
-    new_cam = predict_mod.predict_camera(params, cam13)
-    F, G = predict_mod.camera_transition_jacobians(params, cam13)
-    Cp = F.at[:, 3:7].set(F[:, 3:7] @ Jq)               # W's 13x13 block
-    x_next = x2.at[:_N].set(new_cam)
+    x_next, Cp, G = camera_epilogue(params, x1, Kcap)
 
     # --- fused covariance: P+ = V P V^T - (B V^T)^T (B V^T) + GQG ---
     Ac = Cp * kc[None, :]                               # W diag(keep) cam block

@@ -8,51 +8,159 @@ Reference MultiViewIterativeFactorizer::IntegrateNewFrameCorners
   4. triangulate not-yet-reconstructed tracks seen in >=2 frames (MASKS 8.44)
   5. reprojection error; bundle-adjust if above threshold (:378-394)
 
-Track storage is fixed-capacity masked arrays (max_tracks x max_frames of
-normalized homogeneous coords); the host drives frame-by-frame while kernels
-(anchor count, relative motion, batched depth, BA) run on device.
+Track storage is TRACK-MAJOR padded sparse (each track carries up to L
+observations: frame index + pixel + normalized coord), never a dense
+[tracks x frames] grid — the at-scale configuration (10k+ landmarks, 500+
+keyframes) is ~0.2% occupied, so the dense grid the reference's
+CornerTrackRepository amounts to would be ~600 MB of zeros. The store emits
+`BAProblemSparse` (models/ba/sparse.py) directly; bundle adjustment switches
+to the banded sparse Schur solver (optionally distributed over a mesh) above
+a size threshold, and stays on the small dense path below it.
+
+Host-driven per-frame work batches every device call (relative motion, PnP
+polish, depth triangulation, reprojection error) over bucket-padded shapes so
+XLA compiles O(log n) programs per run, not one per frame.
 fake_localization / fake_mapping switches mirror the reference demo's
 GT-substitution debugging aids.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from surikatoko_tpu.geom.se3 import SE3
-from surikatoko_tpu.models.ba import BundleAdjustment, TermCriteria
-from surikatoko_tpu.models.ba.problem import make_problem, reproj_error
+from surikatoko_tpu.models.ba import (
+    BundleAdjustment, SparseBundleAdjustment, TermCriteria)
+from surikatoko_tpu.models.ba.problem import make_problem
+from surikatoko_tpu.models.ba.sparse import BAProblemSparse
+from surikatoko_tpu.models.ba import sparse as ba_sparse
 from surikatoko_tpu.models.mvf import relative_motion as rm
 
 
-class TrackStore:
-    """Fixed-capacity corner-track repository. Like the reference CornerData
-    (multi-view-factorization.h), each corner carries both the raw pixel
-    (used by BA/reproj-error, pixel K at f0=1) and the normalized homogeneous
-    camera coordinate (used by relative motion and depth estimation)."""
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Next power of two >= max(n, minimum): bounds jit recompiles to
+    O(log n) shape signatures as the map grows frame by frame."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
-    def __init__(self, max_tracks: int, max_frames: int):
-        self.coords = np.zeros((max_tracks, max_frames, 3))   # normalized [x,y,1]
-        self.pixels = np.zeros((max_tracks, max_frames, 2))
-        self.mask = np.zeros((max_tracks, max_frames), bool)
+
+class TrackStore:
+    """Fixed-capacity corner-track repository, track-major padded sparse.
+
+    Like the reference CornerData (multi-view-factorization.h) each corner
+    carries both the raw pixel (used by BA/reproj error, pixel K at f0=1)
+    and the normalized homogeneous camera coordinate (used by relative
+    motion and depth estimation) — but stored as padded tracks
+    (fidx/pixels/coords of up to ``max_track_len`` observations each)
+    instead of the reference CornerTrackRepository's per-frame grid
+    (obs-geom.h:267-417), so memory is O(#observations), not
+    O(tracks x frames)."""
+
+    def __init__(self, max_tracks: int, max_frames: int,
+                 max_track_len: Optional[int] = None):
+        L = int(max_track_len) if max_track_len else int(max_frames)
+        self.L = L
+        self.max_frames = int(max_frames)
+        self.coords = np.zeros((max_tracks, L, 3))   # normalized [x,y,1]
+        self.pixels = np.zeros((max_tracks, L, 2))
+        self.fidx = np.zeros((max_tracks, L), np.int32)
+        self.count = np.zeros(max_tracks, np.int32)
         self.n_tracks = 0
-        self.max_frames = max_frames
+        self._frame_tracks: dict[int, list[int]] = {}
 
     def add_corner(self, track_id: int, frame_ind: int, pix, K_inv) -> None:
         if track_id >= self.n_tracks:
             self.n_tracks = track_id + 1
+        c = int(self.count[track_id])
+        if c > 0 and int(self.fidx[track_id, c - 1]) == frame_ind:
+            c -= 1                     # overwrite a re-reported corner
+        elif c >= self.L:
+            return                     # track at capacity: drop (masked world)
         pix = np.asarray(pix, float)[:2]
         h = np.asarray(K_inv) @ np.array([pix[0], pix[1], 1.0])
-        self.pixels[track_id, frame_ind] = pix
-        self.coords[track_id, frame_ind] = h / h[2]
-        self.mask[track_id, frame_ind] = True
+        self.pixels[track_id, c] = pix
+        self.coords[track_id, c] = h / h[2]
+        self.fidx[track_id, c] = frame_ind
+        if c == int(self.count[track_id]):
+            self.count[track_id] = c + 1
+            self._frame_tracks.setdefault(int(frame_ind), []).append(
+                int(track_id))
 
+    # -- queries ---------------------------------------------------------
     def tracks_in_frame(self, frame_ind: int) -> np.ndarray:
-        return np.nonzero(self.mask[: self.n_tracks, frame_ind])[0]
+        return np.asarray(self._frame_tracks.get(int(frame_ind), []), int)
+
+    def frames_of(self, track_id: int) -> np.ndarray:
+        return self.fidx[track_id, : self.count[track_id]]
+
+    def slot_of(self, track_id: int, frame_ind: int) -> int:
+        row = self.frames_of(track_id)
+        hit = np.nonzero(row == frame_ind)[0]
+        return int(hit[0]) if len(hit) else -1
+
+    def has(self, track_id: int, frame_ind: int) -> bool:
+        return self.slot_of(track_id, frame_ind) >= 0
+
+    def coord(self, track_id: int, frame_ind: int) -> np.ndarray:
+        return self.coords[track_id, self.slot_of(track_id, frame_ind)]
+
+    def n_obs(self) -> int:
+        return int(self.count[: self.n_tracks].sum())
+
+    def sparse_observations(self, tids, n_frames: int,
+                            track_len: Optional[int] = None):
+        """(obs [Np,L,2], frame_idx [Np,L], obs_mask [Np,L]) for the given
+        track ids, restricted to frames < n_frames — the BAProblemSparse
+        observation triple, emitted straight from the padded store."""
+        tids = np.asarray(tids, int)
+        cnt = self.count[tids]
+        L = int(track_len) if track_len else max(int(cnt.max(initial=1)), 1)
+        obs = self.pixels[tids, :L].copy()
+        fidx = self.fidx[tids, :L].copy()
+        mask = np.arange(L)[None, :] < cnt[:, None]
+        mask &= fidx < n_frames
+        fidx = np.where(mask, fidx, 0)
+        obs[~mask] = 0.0
+        return obs, fidx.astype(np.int32), mask
+
+
+@functools.partial(jax.jit, static_argnames=("refine",))
+def _localize_jit(c1, c2, depths, mask, pts, R_init, t_init, R_prev, t_prev,
+                  refine: bool):
+    """One fused device program per (bucketed) shape: SVD-12 relative motion
+    composed with the anchor pose, then (optionally) GN-PnP polish seeded
+    from the better of {SVD estimate, previous frame pose}."""
+    rel, ok = rm.find_relative_motion_multi_points(c1, c2, depths, mask)
+    R_new = rel.R @ R_init
+    t_new = rel.R @ t_init + rel.t
+    if not refine:
+        return R_new, t_new, ok
+    R_a, t_a, rms_a = rm.refine_pose_pnp(pts, c2, mask, R_new, t_new)
+    R_b, t_b, rms_b = rm.refine_pose_pnp(pts, c2, mask, R_prev, t_prev)
+    take_a = rms_a <= rms_b
+    R_r = jnp.where(take_a, R_a, R_b)
+    t_r = jnp.where(take_a, t_a, t_b)
+    return R_r, t_r, ok
+
+
+_batched_depth = jax.jit(jax.vmap(rm.estimate_point_depth))
+_batched_refine_point = jax.jit(jax.vmap(rm.refine_point_gn))
+
+
+@jax.jit
+def _sparse_reproj_err(points, cfw_R, cfw_t, K, obs, frame_idx, obs_mask, f0):
+    p = BAProblemSparse(points=points, cfw_R=cfw_R, cfw_t=cfw_t, K=K,
+                        obs=obs, frame_idx=frame_idx, obs_mask=obs_mask,
+                        f0=f0)
+    return ba_sparse.reproj_error(p)
 
 
 @dataclass
@@ -60,17 +168,29 @@ class MultiViewFactorizer:
     track_store: TrackStore
     K: np.ndarray                       # shared 3x3 intrinsics (f0=1 units)
     ba_trigger_reproj_err: float = 1e-3
-    ba_term_rel_change: float = 1e-3
+    ba_term_rel_change: Optional[float] = 1e-3
+    ba_max_iters: int = 300
     refine_localization: bool = True   # GN-PnP polish of the SVD-12 estimate
+    refine_mapping: bool = True        # GN point polish of the linear depth
     fake_localization: bool = False
     fake_mapping: bool = False
     gt_cfw_fun: Optional[Callable[[int], SE3]] = None
     gt_point_fun: Optional[Callable[[int], np.ndarray]] = None
+    # BA backend: None = auto by size (dense grid cells above the threshold
+    # switch to the banded sparse Schur path, optionally mesh-distributed)
+    use_sparse_ba: Optional[bool] = None
+    sparse_ba_threshold: int = 200_000   # Np * F dense-grid cells
+    ba_mesh: object = None               # jax.sharding.Mesh for sparse BA
+    ba_point_chunk: int = 2048
     # state
     cam_cfw_R: list = field(default_factory=list)
     cam_cfw_t: list = field(default_factory=list)
     point_coords: dict = field(default_factory=dict)   # track_id -> xyz
     ba_runs: int = field(default=0)
+    last_ba_sparse: bool = field(default=False)
+    _ba_points: set = field(default_factory=set)   # tids refined by BA
+    _window_ba: object = field(default=None)
+    _window_ba_key: tuple = field(default=None)
 
     def frames_count(self) -> int:
         return len(self.cam_cfw_R)
@@ -83,20 +203,22 @@ class MultiViewFactorizer:
 
     def set_known_point(self, track_id: int, xyz) -> None:
         self.point_coords[int(track_id)] = np.asarray(xyz, float)
+        # known points are authoritative: never re-triangulated over
+        self._ba_points.add(int(track_id))
 
     # ---- reference FindAnchorFrame :40 ----
     def find_anchor_frame(self, new_frame: int) -> tuple[int, np.ndarray]:
         ts = self.track_store
-        cur = ts.mask[: ts.n_tracks, new_frame]
-        reconstructed = np.zeros(ts.n_tracks, bool)
-        for tid in self.point_coords:
-            reconstructed[tid] = True
-        counts = [
-            int(np.sum(cur & ts.mask[: ts.n_tracks, f] & reconstructed))
-            for f in range(new_frame)
-        ]
-        anchor = int(np.argmax(counts)) if counts else 0
-        common = np.nonzero(cur & ts.mask[: ts.n_tracks, anchor] & reconstructed)[0]
+        cur = [t for t in ts.tracks_in_frame(new_frame)
+               if int(t) in self.point_coords]
+        counts = np.zeros(max(new_frame, 1), np.int64)
+        for tid in cur:
+            fr = ts.frames_of(int(tid))
+            fr = fr[fr < new_frame]
+            counts[fr] += 1
+        anchor = int(np.argmax(counts)) if new_frame > 0 else 0
+        common = np.asarray(
+            [t for t in cur if ts.has(int(t), anchor)], int)
         return anchor, common
 
     def integrate_new_frame_corners(self) -> bool:
@@ -114,13 +236,29 @@ class MultiViewFactorizer:
 
         # depths of common (already reconstructed) points in the anchor frame
         Ra, ta = self.cam_cfw_R[anchor], self.cam_cfw_t[anchor]
-        pts = np.stack([self.point_coords[t] for t in common])
+        pts = np.stack([self.point_coords[int(t)] for t in common])
         depths = (pts @ Ra.T + ta)[:, 2]
 
-        c1 = jnp.asarray(ts.coords[common, anchor])
-        c2 = jnp.asarray(ts.coords[common, new_frame])
-        rel, ok = rm.find_relative_motion_multi_points(
-            c1, c2, jnp.asarray(depths), jnp.ones(len(common), bool))
+        n = len(common)
+        nb = _bucket(n)
+        c1 = np.zeros((nb, 3))
+        c2 = np.zeros((nb, 3))
+        dep = np.ones(nb)
+        ptsb = np.zeros((nb, 3))
+        msk = np.zeros(nb, bool)
+        for i, t in enumerate(common):
+            c1[i] = ts.coord(int(t), anchor)
+            c2[i] = ts.coord(int(t), new_frame)
+        dep[:n] = depths
+        ptsb[:n] = pts
+        msk[:n] = True
+
+        R_new, t_new, ok = _localize_jit(
+            jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(dep),
+            jnp.asarray(msk), jnp.asarray(ptsb),
+            jnp.asarray(Ra), jnp.asarray(ta),
+            jnp.asarray(self.cam_cfw_R[-1]), jnp.asarray(self.cam_cfw_t[-1]),
+            refine=self.refine_localization and not self.fake_localization)
         if not bool(ok):
             return False
 
@@ -129,24 +267,8 @@ class MultiViewFactorizer:
             self.cam_cfw_R.append(np.asarray(gt.R))
             self.cam_cfw_t.append(np.asarray(gt.t))
         else:
-            R_new = np.asarray(rel.R) @ Ra
-            t_new = np.asarray(rel.R) @ ta + np.asarray(rel.t)
-            if self.refine_localization:
-                # GN-PnP polish from the better of {SVD estimate, previous
-                # frame's pose} — the SVD-12 localizer alone is noise-fragile
-                obs = jnp.asarray(ts.coords[common, new_frame])
-                pts_j = jnp.asarray(pts)
-                msk = jnp.ones(len(common), bool)
-                best = None
-                for R_i, t_i in ((R_new, t_new),
-                                 (self.cam_cfw_R[-1], self.cam_cfw_t[-1])):
-                    R_r, t_r, rms = rm.refine_pose_pnp(
-                        pts_j, obs, msk, jnp.asarray(R_i), jnp.asarray(t_i))
-                    if best is None or float(rms) < best[2]:
-                        best = (np.asarray(R_r), np.asarray(t_r), float(rms))
-                R_new, t_new = best[0], best[1]
-            self.cam_cfw_R.append(R_new)
-            self.cam_cfw_t.append(t_new)
+            self.cam_cfw_R.append(np.asarray(R_new))
+            self.cam_cfw_t.append(np.asarray(t_new))
 
         # triangulate tracks seen in this frame that aren't reconstructed yet
         self._reconstruct_new_tracks(new_frame)
@@ -157,48 +279,149 @@ class MultiViewFactorizer:
             self._run_ba()
         return True
 
-    def _triangulate_track(self, tid: int, upto_frame: int) -> Optional[np.ndarray]:
-        """MASKS-8.44 depth of one track from all its observations up to (and
-        including) `upto_frame`, under the current camera poses."""
+    # ---- triangulation (MASKS 8.44), batched over candidate tracks ----
+    def _triangulate_tracks(self, tids, upto_frame: int) -> dict:
+        """Batched depth of each track from all its observations up to (and
+        including) `upto_frame`, under the current camera poses. One device
+        call per (bucketed) candidate count. Returns {tid: xyz_world} for
+        the tracks whose depth came out finite and positive."""
         ts = self.track_store
-        frames = np.nonzero(ts.mask[tid, : upto_frame + 1])[0]
-        if len(frames) <= 1:
-            return None
-        base = int(frames[0])
-        others = frames[1:]
-        Rb, tb = self.cam_cfw_R[base], self.cam_cfw_t[base]
-        R_fb = np.stack([self.cam_cfw_R[f] @ Rb.T for f in others])
-        T_fb = np.stack([
-            self.cam_cfw_t[f] - R_fb[i] @ tb for i, f in enumerate(others)])
-        depth = float(rm.estimate_point_depth(
-            jnp.asarray(ts.coords[tid, base]),
-            jnp.asarray(ts.coords[tid, others]),
-            jnp.asarray(R_fb), jnp.asarray(T_fb),
-            jnp.ones(len(others), bool)))
-        if not np.isfinite(depth) or depth <= 0:
-            return None
-        x_base = ts.coords[tid, base] * depth
-        return Rb.T @ (x_base - tb)
+        cands = []
+        for tid in tids:
+            fr = ts.frames_of(int(tid))
+            sel = np.nonzero(fr <= upto_frame)[0]
+            if len(sel) >= 2:
+                cands.append((int(tid), sel))
+        if not cands:
+            return {}
+        R_all = np.stack(self.cam_cfw_R)
+        t_all = np.stack(self.cam_cfw_t)
+        M = max(len(sel) for _, sel in cands) - 1
+        Nb, Mb = _bucket(len(cands)), _bucket(M, minimum=4)
+        x_base = np.zeros((Nb, 3))
+        xs = np.zeros((Nb, Mb, 3))
+        R_fb = np.broadcast_to(np.eye(3), (Nb, Mb, 3, 3)).copy()
+        T_fb = np.zeros((Nb, Mb, 3))
+        msk = np.zeros((Nb, Mb), bool)
+        bases = []
+        for i, (tid, sel) in enumerate(cands):
+            fr = ts.frames_of(tid)[sel]
+            base = int(fr[0])
+            others = fr[1:]
+            Rb, tb = R_all[base], t_all[base]
+            k = len(others)
+            x_base[i] = ts.coords[tid, sel[0]]
+            xs[i, :k] = ts.coords[tid, sel[1:]]
+            R_fb[i, :k] = R_all[others] @ Rb.T
+            T_fb[i, :k] = t_all[others] - np.einsum(
+                "fij,j->fi", R_fb[i, :k], tb)
+            msk[i, :k] = True
+            bases.append(base)
+        depth = np.asarray(_batched_depth(
+            jnp.asarray(x_base), jnp.asarray(xs), jnp.asarray(R_fb),
+            jnp.asarray(T_fb), jnp.asarray(msk)))
+        x_lin = np.zeros((Nb, 3))
+        keep = np.zeros(Nb, bool)
+        for i, (tid, sel) in enumerate(cands):
+            d = float(depth[i])
+            if not np.isfinite(d) or d <= 0:
+                continue
+            base = bases[i]
+            x_cam = ts.coords[tid, sel[0]] * d
+            x_lin[i] = R_all[base].T @ (x_cam - t_all[base])
+            keep[i] = True
+        if self.refine_mapping:
+            # GN polish against ALL observations (incl. base): debias the
+            # linear depth — see rm.refine_point_gn. Reuse the batch layout
+            # with world-frame poses and the base observation appended.
+            obs_w = np.zeros((Nb, Mb + 1, 3))
+            R_w = np.broadcast_to(np.eye(3), (Nb, Mb + 1, 3, 3)).copy()
+            t_w = np.zeros((Nb, Mb + 1, 3))
+            msk_w = np.zeros((Nb, Mb + 1), bool)
+            for i, (tid, sel) in enumerate(cands):
+                if not keep[i]:
+                    continue
+                fr = ts.frames_of(tid)[sel]
+                k = len(fr)
+                obs_w[i, :k] = ts.coords[tid, sel]
+                R_w[i, :k] = R_all[fr]
+                t_w[i, :k] = t_all[fr]
+                msk_w[i, :k] = True
+            x_ref = np.asarray(_batched_refine_point(
+                jnp.asarray(x_lin), jnp.asarray(obs_w), jnp.asarray(R_w),
+                jnp.asarray(t_w), jnp.asarray(msk_w)))
+            good = np.isfinite(x_ref).all(axis=1)
+            x_lin = np.where(good[:, None], x_ref, x_lin)
+        out = {}
+        for i, (tid, sel) in enumerate(cands):
+            if keep[i]:
+                out[tid] = x_lin[i]
+        return out
+
+    def _triangulate_track(self, tid: int, upto_frame: int
+                           ) -> Optional[np.ndarray]:
+        return self._triangulate_tracks([tid], upto_frame).get(int(tid))
 
     def _reconstruct_new_tracks(self, new_frame: int) -> None:
         ts = self.track_store
-        for tid in ts.tracks_in_frame(new_frame):
-            if tid in self.point_coords:
-                continue
-            x_world = self._triangulate_track(int(tid), new_frame)
-            if x_world is None:
-                continue
+        # new tracks, plus re-triangulation of linear-only tracks (not yet
+        # through BA): their first depth came from a tiny baseline — as the
+        # track accrues frames the linear estimate sharpens, and overriding
+        # it is safe until BA has produced something better
+        fresh = [int(t) for t in ts.tracks_in_frame(new_frame)
+                 if int(t) not in self.point_coords
+                 or int(t) not in self._ba_points]
+        tri = self._triangulate_tracks(fresh, new_frame)
+        for tid, x_world in tri.items():
             if self.fake_mapping and self.gt_point_fun is not None:
                 x_world = np.asarray(self.gt_point_fun(int(tid)))
             self.point_coords[int(tid)] = x_world
 
-    def _ba_problem(self):
+    # ---- BA problem emission -------------------------------------------
+    def _sparse_problem(self, pad_points: int = 1,
+                        track_len: Optional[int] = None
+                        ) -> tuple[list, BAProblemSparse]:
+        """Emit BAProblemSparse straight from the track store — no dense
+        [Np, F] grid anywhere. `pad_points` rounds Np up (masked rows) so
+        jit signatures stay stable / shards stay even."""
         tids = sorted(self.point_coords)
         ts = self.track_store
         n_f = self.frames_count()
+        obs, fidx, mask = ts.sparse_observations(tids, n_f, track_len)
+        Np = len(tids)
+        pad = (-Np) % pad_points
+        if pad:
+            obs = np.concatenate([obs, np.zeros((pad,) + obs.shape[1:])])
+            fidx = np.concatenate(
+                [fidx, np.zeros((pad,) + fidx.shape[1:], np.int32)])
+            mask = np.concatenate(
+                [mask, np.zeros((pad,) + mask.shape[1:], bool)])
         pts = np.stack([self.point_coords[t] for t in tids])
-        obs = ts.pixels[tids][:, :n_f]
-        mask = ts.mask[tids][:, :n_f]
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad, 3))])
+        K = np.broadcast_to(np.asarray(self.K, float), (n_f, 3, 3))
+        p = BAProblemSparse(
+            points=jnp.asarray(pts), cfw_R=jnp.asarray(np.stack(self.cam_cfw_R)),
+            cfw_t=jnp.asarray(np.stack(self.cam_cfw_t)), K=jnp.asarray(K),
+            obs=jnp.asarray(obs), frame_idx=jnp.asarray(fidx),
+            obs_mask=jnp.asarray(mask), f0=jnp.asarray(1.0, pts.dtype))
+        return tids, p
+
+    def _dense_problem(self):
+        """Small-problem path: materialize the dense grid from the sparse
+        store (only below sparse_ba_threshold)."""
+        tids = sorted(self.point_coords)
+        ts = self.track_store
+        n_f = self.frames_count()
+        obs_s, fidx, mask_s = ts.sparse_observations(tids, n_f)
+        Np, L = mask_s.shape
+        obs = np.zeros((Np, n_f, 2))
+        mask = np.zeros((Np, n_f), bool)
+        rows = np.repeat(np.arange(Np), L).reshape(Np, L)
+        sel = mask_s
+        mask[rows[sel], fidx[sel]] = True
+        obs[rows[sel], fidx[sel]] = obs_s[sel]
+        pts = np.stack([self.point_coords[t] for t in tids])
         cfw = SE3(jnp.asarray(np.stack(self.cam_cfw_R)),
                   jnp.asarray(np.stack(self.cam_cfw_t)))
         return tids, make_problem(pts, cfw, self.K, obs, mask, f0=1.0)
@@ -206,8 +429,11 @@ class MultiViewFactorizer:
     def _reproj_error(self) -> float:
         if len(self.point_coords) == 0 or self.frames_count() < 2:
             return 0.0
-        _, p = self._ba_problem()
-        return float(reproj_error(p))
+        nb = _bucket(len(self.point_coords), minimum=16)
+        _, p = self._sparse_problem(pad_points=nb)
+        return float(_sparse_reproj_err(
+            p.points, p.cfw_R, p.cfw_t, p.K, p.obs, p.frame_idx,
+            p.obs_mask, p.f0))
 
     # ---- pose-graph loop closure (north-star addition; the reference's MVF
     # only chains odometry and re-runs BA, multi-view-factorization.cpp:255) --
@@ -219,15 +445,18 @@ class MultiViewFactorizer:
         non-adjacent candidate loop pair. Returns (rel, #common) with rel
         None when support is too thin."""
         ts = self.track_store
-        both = ts.mask[: ts.n_tracks, i] & ts.mask[: ts.n_tracks, j]
-        common = [t for t in np.nonzero(both)[0] if int(t) in self.point_coords]
+        in_j = set(int(t) for t in ts.tracks_in_frame(j))
+        common = [int(t) for t in ts.tracks_in_frame(i)
+                  if int(t) in in_j and int(t) in self.point_coords]
         if len(common) < min_common:
             return None, len(common)
         Ri, ti = self.cam_cfw_R[i], self.cam_cfw_t[i]
-        pts = np.stack([self.point_coords[int(t)] for t in common])
+        pts = np.stack([self.point_coords[t] for t in common])
         depths = (pts @ Ri.T + ti)[:, 2]
+        ci = np.stack([ts.coord(t, i) for t in common])
+        cj = np.stack([ts.coord(t, j) for t in common])
         rel, ok = rm.find_relative_motion_multi_points(
-            jnp.asarray(ts.coords[common, i]), jnp.asarray(ts.coords[common, j]),
+            jnp.asarray(ci), jnp.asarray(cj),
             jnp.asarray(depths), jnp.ones(len(common), bool))
         if not bool(ok):
             return None, len(common)
@@ -273,27 +502,131 @@ class MultiViewFactorizer:
             self.cam_cfw_R[f] = R_w[f].T
             self.cam_cfw_t[f] = -R_w[f].T @ t_w[f]
 
-        # re-triangulate the whole map under the corrected poses
-        for tid in list(self.point_coords):
-            x_world = self._triangulate_track(int(tid), n - 1)
-            if x_world is not None:
-                self.point_coords[tid] = x_world
+        # re-triangulate the whole map under the corrected poses (batched)
+        tri = self._triangulate_tracks(list(self.point_coords), n - 1)
+        self.point_coords.update(tri)
 
         if run_ba:
             pins = sorted({int(i) for (i, j, _, _) in loop_closures}
                           | {int(j) for (i, j, _, _) in loop_closures})
             self._run_ba(pin_frames=tuple(pins))
 
+    def run_windowed_ba(self, window: int = 25,
+                        point_bucket: int = 512) -> bool:
+        """Sliding-window local BA: optimize the last `window` camera poses
+        and the points they observe, with the two OLDEST window frames
+        pinned as the gauge anchor (fixed-keyframe BA — no normalization
+        needed). Shapes are static (window fixed, points bucket-padded), so
+        the whole run reuses ONE compiled program as the map grows — the
+        scalable way to keep incremental drift bounded without re-jitting a
+        growing global problem every few frames. A full `_run_ba` at the end
+        still polishes globally. New capability beyond the reference (its
+        MVF re-runs global BA on every trigger,
+        multi-view-factorization.cpp:378-394, which cannot scale)."""
+        F = self.frames_count()
+        if F < window:
+            return False
+        base = F - window
+        ts = self.track_store
+        # tracks observed in the window AND reconstructed
+        tids = sorted({int(t) for f in range(base, F)
+                       for t in ts.tracks_in_frame(f)}
+                      & set(self.point_coords))
+        if not tids:
+            return False
+        obs, fidx, mask = ts.sparse_observations(tids, F)
+        # restrict to window frames, local indexing
+        inwin = mask & (fidx >= base)
+        fidx_l = np.where(inwin, fidx - base, 0).astype(np.int32)
+        obs = np.where(inwin[..., None], obs, 0.0)
+        Np = len(tids)
+        Npad = _bucket(Np, minimum=point_bucket)
+        pad = Npad - Np
+        pts = np.stack([self.point_coords[t] for t in tids])
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad, 3))])
+            obs = np.concatenate([obs, np.zeros((pad,) + obs.shape[1:])])
+            fidx_l = np.concatenate(
+                [fidx_l, np.zeros((pad,) + fidx_l.shape[1:], np.int32)])
+            inwin = np.concatenate(
+                [inwin, np.zeros((pad,) + inwin.shape[1:], bool)])
+        K = np.broadcast_to(np.asarray(self.K, float), (window, 3, 3))
+        p = BAProblemSparse(
+            points=jnp.asarray(pts),
+            cfw_R=jnp.asarray(np.stack(self.cam_cfw_R[base:])),
+            cfw_t=jnp.asarray(np.stack(self.cam_cfw_t[base:])),
+            K=jnp.asarray(K), obs=jnp.asarray(obs),
+            frame_idx=jnp.asarray(fidx_l), obs_mask=jnp.asarray(inwin),
+            f0=jnp.asarray(1.0, pts.dtype))
+        if self._window_ba is None or self._window_ba_key != (window,):
+            self._window_ba = SparseBundleAdjustment(
+                optimize_intrinsics=False, pin_frames=(0, 1),
+                point_chunk=min(self.ba_point_chunk, point_bucket), band=False)
+            self._window_ba_key = (window,)
+        ba = self._window_ba
+        term = TermCriteria(
+            allowed_reproj_err_rel_change=self.ba_term_rel_change,
+            max_iters=self.ba_max_iters)
+        ok, p_opt = ba.compute(p, term)    # gauge = the two pinned frames
+        self.ba_runs += 1
+        self.last_ba_sparse = True
+        if not ok:
+            return False
+        pts_o = np.asarray(p_opt.points)
+        for i, t in enumerate(tids):
+            self.point_coords[t] = pts_o[i]
+        self._ba_points.update(int(t) for t in tids)
+        R_o, t_o = np.asarray(p_opt.cfw_R), np.asarray(p_opt.cfw_t)
+        for k in range(2, window):         # pinned 0,1 unchanged by solve
+            self.cam_cfw_R[base + k] = R_o[k]
+            self.cam_cfw_t[base + k] = t_o[k]
+        return True
+
+    def _use_sparse(self) -> bool:
+        if self.use_sparse_ba is not None:
+            return bool(self.use_sparse_ba)
+        return (len(self.point_coords) * self.frames_count()
+                > self.sparse_ba_threshold)
+
+    def _unity_comp_ind(self) -> int:
+        """Gauge scale is anchored on ONE component of the cam0->cam1 shift
+        (SceneNormalizer, bundle-adj-kanatani.cpp:203): normalization divides
+        the world by it, so a near-zero component blows the gauge up and
+        leaves the scale effectively unconstrained. Pick the largest."""
+        R0, T0 = self.cam_cfw_R[0], self.cam_cfw_t[0]
+        R1, T1 = self.cam_cfw_R[1], self.cam_cfw_t[1]
+        T01 = T0 - R0 @ (R1.T @ T1)
+        return int(np.argmax(np.abs(T01)))
+
     def _run_ba(self, pin_frames: tuple = ()) -> None:
-        tids, p = self._ba_problem()
-        ba = BundleAdjustment(optimize_intrinsics=False, pin_frames=pin_frames)
-        ok, p_opt = ba.compute_inplace(
-            p, TermCriteria(allowed_reproj_err_rel_change=self.ba_term_rel_change))
+        term = TermCriteria(
+            allowed_reproj_err_rel_change=self.ba_term_rel_change,
+            max_iters=self.ba_max_iters)
+        uci = self._unity_comp_ind()
+        self.last_ba_sparse = self._use_sparse()
+        if self.last_ba_sparse:
+            n_dev = self.ba_mesh.devices.size if self.ba_mesh is not None else 1
+            tids, p = self._sparse_problem(
+                pad_points=max(8 * n_dev, 8))
+            ba = SparseBundleAdjustment(
+                optimize_intrinsics=False, pin_frames=pin_frames,
+                mesh=self.ba_mesh, point_chunk=self.ba_point_chunk,
+                unity_comp_ind=uci)
+            ok, p_opt = ba.compute_inplace(p, term)
+        else:
+            tids, p = self._dense_problem()
+            ba = BundleAdjustment(optimize_intrinsics=False,
+                                  pin_frames=pin_frames, unity_comp_ind=uci)
+            ok, p_opt = ba.compute_inplace(p, term)
         self.ba_runs += 1
         if not ok:
             return
+        pts = np.asarray(p_opt.points)
         for i, t in enumerate(tids):
-            self.point_coords[t] = np.asarray(p_opt.points[i])
+            self.point_coords[t] = pts[i]
+        self._ba_points.update(int(t) for t in tids)
+        R_opt = np.asarray(p_opt.cfw_R)
+        t_opt = np.asarray(p_opt.cfw_t)
         for f in range(self.frames_count()):
-            self.cam_cfw_R[f] = np.asarray(p_opt.cfw_R[f])
-            self.cam_cfw_t[f] = np.asarray(p_opt.cfw_t[f])
+            self.cam_cfw_R[f] = R_opt[f]
+            self.cam_cfw_t[f] = t_opt[f]

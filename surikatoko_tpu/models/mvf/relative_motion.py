@@ -105,6 +105,43 @@ def refine_pose_pnp(
     return R, t, rms
 
 
+def refine_point_gn(
+    x0: jnp.ndarray,         # [3] initial world point
+    obs_norm: jnp.ndarray,   # [M,3] normalized homogeneous observations
+    R: jnp.ndarray,          # [M,3,3] cfw rotations of the observing frames
+    t: jnp.ndarray,          # [M,3]
+    mask: jnp.ndarray,       # [M]
+    iters: int = 5,
+) -> jnp.ndarray:
+    """Gauss-Newton polish of one 3D point against all its observations.
+
+    The linear MASKS-8.44 depth (estimate_point_depth, the reference's
+    Estimate3DPointDepthFromFrames, multi-view-factorization.cpp:223) is an
+    errors-in-variables estimator: measurement noise enters the denominator
+    squared, so depths are systematically over-estimated and an incremental
+    run inflates in scale frame over frame. A few GN iterations on the true
+    reprojection residual remove the bias. Masked rows contribute zero."""
+    dtype = x0.dtype
+    m = mask.astype(dtype)
+
+    def residual(X):
+        xc = jnp.einsum("mij,j->mi", R, X) + t
+        z = xc[:, 2:3]
+        zsafe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        return ((xc[:, :2] / zsafe - obs_norm[:, :2]) * m[:, None]).reshape(-1)
+
+    def gn_step(X, _):
+        r = residual(X)
+        J = jax.jacfwd(residual)(X)
+        H = J.T @ J + 1e-12 * jnp.eye(3, dtype=dtype)
+        d = jnp.linalg.solve(H, -(J.T @ r))
+        d = jnp.where(jnp.all(jnp.isfinite(d)), d, jnp.zeros(3, dtype))
+        return X + d, None
+
+    X, _ = jax.lax.scan(gn_step, x0, None, length=iters)
+    return X
+
+
 def estimate_point_depth(
     x_base: jnp.ndarray,     # [3] normalized coords in the track's base frame
     xs: jnp.ndarray,         # [F,3] normalized coords in other frames

@@ -91,6 +91,121 @@ def _local_update_kernel(params: MonoSlamParams, K: int,
     return x_new, P_cam_new, P_lm_new, resid_loc
 
 
+def _local_fused_kernel(params: MonoSlamParams, K: int,
+                        x, P_cam, P_lm, lms, obs, obs_mask):
+    """shard_map body for the FUSED frame (update + health + predict as one
+    covariance congruence, models/monoslam/fused_step.py). Same distributed
+    structure as _local_update_kernel — one all_gather of the gain precursor
+    — plus a tiny all_gather of the local covariance diagonals for the
+    nonneg-variance keep mask. The V P V^T congruence is row-local: each
+    device transforms its own landmark rows (columns hit by the replicated
+    13x13 camera block Ac and the replicated keep mask)."""
+    dtype = x.dtype
+    D = x.shape[0]
+    L = lms.shape[0]
+    cam13 = x[:_N]
+    r_var = params.measurm_noise_var.astype(dtype)
+
+    h_loc, Hcam_loc, Hlm_loc = measure.batched_jacobians(params, cam13, lms)
+    m = obs_mask[:, None, None].astype(dtype)
+    Hcam_loc = Hcam_loc * m
+    Hlm_loc = Hlm_loc * m
+    resid_loc = (obs - h_loc) * obs_mask[:, None].astype(dtype)
+
+    A_loc = (jnp.einsum("kij,jd->kid", Hcam_loc, P_cam)
+             + jnp.einsum("kij,kjd->kid", Hlm_loc, P_lm))
+
+    Hcam_all = jax.lax.all_gather(Hcam_loc, "lm", tiled=True)   # [K,2,13]
+    Hlm_all = jax.lax.all_gather(Hlm_loc, "lm", tiled=True)     # [K,2,6]
+    A_all = jax.lax.all_gather(A_loc, "lm", tiled=True)         # [K,2,D]
+    r_all = jax.lax.all_gather(resid_loc, "lm", tiled=True)     # [K,2]
+
+    A_lm_cols = A_all[:, :, _N:].reshape(K, 2, K, 6)
+    S = (jnp.einsum("kid,ljd->kilj", A_all[:, :, :_N], Hcam_all)
+         + jnp.einsum("kild,ljd->kilj", A_lm_cols, Hlm_all))
+    S2 = S.reshape(2 * K, 2 * K) + r_var * jnp.eye(2 * K, dtype=dtype)
+    A2 = A_all.reshape(2 * K, D)
+    C = jnp.linalg.cholesky(S2)
+    B = solve_triangular(C, A2, lower=True)         # [2K, D] whitened gain
+    y = solve_triangular(C, r_all.reshape(-1), lower=True)
+    x1 = x + B.T @ y
+
+    # keep mask from diag(P) - colsum(B^2): local diagonals, tiny gather
+    dev = jax.lax.axis_index("lm")
+    col0 = jnp.asarray(_N, jnp.int32) + dev.astype(jnp.int32) * (L * 6)
+    Pl = P_lm.reshape(L * 6, D)
+    cols_loc = col0 + jnp.arange(L * 6, dtype=jnp.int32)
+    diag_loc = jax.vmap(lambda row, c: row[c])(Pl, cols_loc)    # [6L]
+    diag_lm = jax.lax.all_gather(diag_loc, "lm", tiled=True)    # [6K]
+    diag_cam = jnp.diagonal(P_cam[:, :_N])
+    keep = ((jnp.concatenate([diag_cam, diag_lm])
+             - jnp.sum(B * B, axis=0)) >= 0).astype(dtype)
+    kc, km = keep[:_N], keep[_N:]
+
+    from surikatoko_tpu.models.monoslam.fused_step import camera_epilogue
+    x_next, Cp, G = camera_epilogue(params, x1, K)
+
+    # fused covariance P+ = V P V^T - (B V^T)^T (B V^T) + GQG (replicated
+    # camera stripe; landmark rows local)
+    Ac = Cp * kc[None, :]
+    B2 = jnp.concatenate([B[:, :_N] @ Ac.T, B[:, _N:] * km[None, :]], axis=1)
+    top_all = Ac @ P_cam                                        # [13,D]
+    Q = params.process_noise_cov.astype(dtype)
+    corner = top_all[:, :_N] @ Ac.T + G @ Q @ G.T
+    corner = 0.5 * (corner + corner.T)
+    top = jnp.concatenate([corner, top_all[:, _N:] * km[None, :]], axis=1)
+    P_cam_new = top - B2[:, :_N].T @ B2
+
+    km_own = jax.lax.dynamic_slice(km, (col0 - _N,), (L * 6,))
+    # cam-col block = exact transpose of the replicated camera rows (the
+    # single-device fused step's bottom = top[:, 13:].T trick): recomputing
+    # it locally would be a transposed contraction with different rounding,
+    # breaking exact stripe symmetry. The lm-lm block is symmetric as
+    # computed: the keep congruence multiplies by exact 0/1 and the Gram
+    # downdate runs the same-shaped matmul on every device.
+    cam_cols = jax.lax.dynamic_slice(
+        P_cam_new, (jnp.zeros((), jnp.int32), col0), (_N, L * 6)).T
+    B2_own = jax.lax.dynamic_slice(
+        B2, (jnp.zeros((), jnp.int32), col0), (2 * K, L * 6))
+    lm_cols = (km_own[:, None] * (Pl[:, _N:] * km[None, :])
+               - B2_own.T @ B2[:, _N:])
+    P_lm_new = jnp.concatenate([cam_cols, lm_cols], axis=1).reshape(L, 6, D)
+
+    return x_next, P_cam_new, P_lm_new, resid_loc, x1
+
+
+def make_sharded_fused_step(params: MonoSlamParams, capacity: int, mesh: Mesh):
+    """Landmark-sharded FUSED frame step (stacked update + nonneg-variance
+    clamp + quat renorm + kinematic predict as one congruence): the sharded
+    counterpart of fused_step.fused_update_health_predict. Returns a jitted
+    fn (x, P, obs, obs_mask) -> (x_next, P_next, resid, x_post_update).
+    Parity: tests/test_parallel_fused.py (single vs 2/4/8-device mesh)."""
+    n_dev = mesh.devices.size
+    assert capacity % n_dev == 0, (capacity, n_dev)
+
+    kernel = functools.partial(_local_fused_kernel, params, capacity)
+    smapped = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(), P(), P("lm"), P("lm"), P("lm"), P("lm")),
+        out_specs=(P(), P(), P("lm"), P("lm"), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(x, Pmat, obs, obs_mask):
+        D = x.shape[0]
+        P_cam = Pmat[:_N, :]
+        P_lm = Pmat[_N:, :].reshape(capacity, 6, D)
+        lms = x[_N:].reshape(capacity, 6)
+        x_next, P_cam_new, P_lm_new, resid, x1 = smapped(
+            x, P_cam, P_lm, lms, obs, obs_mask)
+        P_new = jnp.concatenate([P_cam_new, P_lm_new.reshape(-1, D)], axis=0)
+        return x_next, P_new, resid, x1
+
+    return step
+
+
 def make_sharded_stacked_update(params: MonoSlamParams, capacity: int, mesh: Mesh):
     """Returns a jitted fn (x, P, obs, obs_mask) -> (x', P', resid) running the
     stacked update landmark-sharded over ``mesh`` axis "lm".
