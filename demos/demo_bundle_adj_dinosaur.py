@@ -49,13 +49,14 @@ def main() -> int:
 
     dino_file = os.path.join(args.testdata, "oxfvisgeom", "dinosaur",
                              "dinoPs_as_mat108x4.txt")
+    gt_points = None
     if not args.synthetic and os.path.exists(dino_file):
         print(f"loading dino data from {args.testdata}")
         p = dino.load_dino_problem(args.testdata, args.f0, args.max_points)
     else:
         print("dino files not found -> synthetic dino stand-in "
               "(see testdata/oxfvisgeom/README.md for the real data)")
-        p, _ = dino.synthetic_dino_problem(
+        p, gt_points = dino.synthetic_dino_problem(
             n_points=args.max_points or 1024, f0=args.f0)
 
     print(f"frames={p.n_frames} points={p.n_points}")
@@ -73,6 +74,22 @@ def main() -> int:
           f"in {dt:.1f}s ({ba.iterations / max(dt, 1e-9):.2f} iters/s)")
     print(f"final reproj_err={err1:.6g} nodim "
           f"({float(reproj_error_pix_per_point(p_opt, err1)):.4f} pix/point)")
+
+    # ATE RMSE (the BASELINE accuracy metric): camera-center trajectory vs
+    # the input VGG calibration (real data has no GT beyond it), plus the
+    # map vs GT points when the synthetic stand-in provides them
+    import jax.numpy as jnp
+    import numpy as np
+    from surikatoko_tpu.geom.align import aligned_rmse
+    c0 = -np.einsum("fji,fj->fi", np.asarray(p.cfw_R), np.asarray(p.cfw_t))
+    c1 = -np.einsum("fji,fj->fi", np.asarray(p_opt.cfw_R),
+                    np.asarray(p_opt.cfw_t))
+    traj_ate = float(aligned_rmse(jnp.asarray(c1), jnp.asarray(c0)))
+    line = f"traj_ate_rmse={traj_ate:.6f} (vs input calibration)"
+    if gt_points is not None:
+        map_ate = float(aligned_rmse(p_opt.points, jnp.asarray(gt_points)))
+        line += f"  map_ate_rmse={map_ate:.6f} (vs GT points)"
+    print(line)
     return 0
 
 

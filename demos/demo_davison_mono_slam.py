@@ -87,7 +87,30 @@ def main() -> int:
     ap.add_argument("--x64", action="store_true", default=True)
     # the reference's 'u' hotkey (SetEstimStateAndCovarToGroundTruth)
     ap.add_argument("--reset_to_gt_at", type=int, default=None,
-                    help="snap camera state to GT at this frame (recovery)")
+                    help="rebuild the FULL state+covariance from GT at this"
+                         " frame (recovery)")
+    ap.add_argument("--reset_to_gt_impl", type=int, default=2, choices=(1, 2),
+                    help="covariance reinit: 1=diagonal stds (ignore"
+                         " correlations), 2=as-if-AddSalientPoint"
+                         " (monoslam_set_estim_state_covar_to_gt_impl)")
+    # reference monoslam_cam_perfect_init_vel / _ang_vel (default false)
+    ap.add_argument("--cam_perfect_init_vel", action="store_true",
+                    default=True)
+    ap.add_argument("--no_cam_perfect_init_vel", dest="cam_perfect_init_vel",
+                    action="store_false")
+    ap.add_argument("--cam_perfect_init_ang_vel", action="store_true",
+                    default=True)
+    ap.add_argument("--no_cam_perfect_init_ang_vel",
+                    dest="cam_perfect_init_ang_vel", action="store_false")
+    ap.add_argument("--max_new_blobs_per_frame", type=int, default=None)
+    ap.add_argument("--max_new_blobs_in_first_frame", type=int, default=None)
+    # live viewer (reduced-scope parity with the Pangolin UI):
+    # hotkeys s/u/i/q inside the window
+    ap.add_argument("--live", action="store_true",
+                    help="live 3D scene + 2D view while tracking")
+    ap.add_argument("--save_view_frames", default=None,
+                    help="dump per-frame scene PNGs to this dir (headless"
+                         " equivalent of ctrl_log_slam_images_*)")
     # the reference's 'i' hotkey (DumpTrackerState)
     ap.add_argument("--dump_state_at", type=int, default=None,
                     help="print the full filter state at this frame")
@@ -194,9 +217,14 @@ def main() -> int:
         matcher = DemoCornersMatcher(
             tracker, gt_cfw, pts, image_size=tuple(img_size),
             detection_noise_std=args.detection_noise_std,
-            match_drop_prob=args.match_drop_prob)
+            match_drop_prob=args.match_drop_prob,
+            max_new_per_frame=args.max_new_blobs_per_frame,
+            max_new_in_first_frame=args.max_new_blobs_in_first_frame)
         n_frames = min(args.frames or 10**9, gt_cfw.t.shape[0])
-        state = init_tracker_state_from_gt(tracker, gt_cfw, dt=float(params.dt))
+        state = init_tracker_state_from_gt(
+            tracker, gt_cfw, dt=float(params.dt),
+            with_velocity=args.cam_perfect_init_vel,
+            with_ang_velocity=args.cam_perfect_init_ang_vel)
         from surikatoko_tpu.io import checkpoint as ckpt_mod
         from surikatoko_tpu.models.monoslam import health as health_mod
         from surikatoko_tpu.models.monoslam.filter import format_state
@@ -211,20 +239,60 @@ def main() -> int:
             matcher.slot_to_frag = np.asarray(payload["slot_to_frag"])
             matcher.frag_to_slot = np.asarray(payload["frag_to_slot"])
             print(f"resumed from {args.checkpoint_path} at frame {start_frame}")
+        view = None
+        if args.live or args.save_view_frames:
+            from surikatoko_tpu.viz.live_view import LiveMonoSlamView
+            view = LiveMonoSlamView(
+                image_size=tuple(img_size),
+                save_frames_dir=args.save_view_frames)
         for f in range(start_frame, n_frames):
             if args.suppress_observations_from is not None:
                 lo = args.suppress_observations_from
                 hi = args.suppress_observations_to or 10**9
                 matcher.suppress_observations = lo <= f < hi
-            if args.reset_to_gt_at is not None and f == args.reset_to_gt_at:
+            if view is not None:
+                if view.want_quit:
+                    print(f"f={f} stopped from the viewer ('q')")
+                    break
+                matcher.suppress_observations |= view.suppress
+                if view.want_dump:
+                    view.want_dump = False
+                    print(format_state(state))
+            do_reset = (args.reset_to_gt_at is not None
+                        and f == args.reset_to_gt_at)
+            if view is not None and view.want_reset:
+                view.want_reset = False
+                do_reset = True
+            if do_reset:
                 from surikatoko_tpu.geom import quat as quat_mod
                 wfc_r = SE3(gt_cfw.R[f], gt_cfw.t[f]).inv()
                 gt13r = jnp.concatenate([
                     jnp.asarray(wfc_r.t),
                     jnp.asarray(quat_mod.from_rotmat(wfc_r.R)),
                     jnp.zeros(6, state.x.dtype)])
-                state = health_mod.reset_camera_to_gt(state, gt13r)
-                print(f"f={f} camera state reset to ground truth ('u' hotkey)")
+                gt_pix, gt_rho, slot_mask = matcher.gt_state_for_reset(state, f)
+                state = health_mod.reset_state_to_gt(
+                    params, state, gt13r, jnp.asarray(gt_pix),
+                    jnp.asarray(gt_rho), jnp.asarray(slot_mask),
+                    impl=args.reset_to_gt_impl,
+                    cam_pos_std=cfg.get_value(
+                        "monoslam_cam_pos_std_m", float, 0.0),
+                    cam_q_comp_std=cfg.get_value(
+                        "monoslam_cam_orient_q_comp_std", float, 0.0),
+                    cam_vel_std=cfg.get_value(
+                        "monoslam_cam_vel_std", float, 0.0),
+                    cam_ang_vel_std=cfg.get_value(
+                        "monoslam_cam_ang_vel_std", float, 0.0),
+                    sal_pnt_first_cam_pos_std=cfg.get_value(
+                        "monoslam_sal_pnt_first_cam_pos_std_if_gt", float, 0.0),
+                    sal_pnt_azimuth_std=cfg.get_value(
+                        "monoslam_sal_pnt_azimuth_std_if_gt", float, 0.0),
+                    sal_pnt_elevation_std=cfg.get_value(
+                        "monoslam_sal_pnt_elevation_std_if_gt", float, 0.0),
+                    sal_pnt_inv_dist_std=cfg.get_value(
+                        "monoslam_sal_pnt_inv_dist_std_if_gt", float, 0.0))
+                print(f"f={f} full state+covar reset to ground truth "
+                      f"('u' hotkey, impl={args.reset_to_gt_impl})")
             if args.dump_state_at is not None and f == args.dump_state_at:
                 print(format_state(state))
             logger.start_new_frame()
@@ -237,6 +305,9 @@ def main() -> int:
             matcher.sync_removed(state)
             cfw_f = SE3(gt_cfw.R[f], gt_cfw.t[f])
             wfc = cfw_f.inv()
+            if view is not None:
+                view.update(params, state, f, obs=obs, obs_mask=obs_mask,
+                            gt_wfc_t=np.asarray(wfc.t))
             from surikatoko_tpu.geom import quat as quat_mod
             q_gt = np.asarray(quat_mod.from_rotmat(wfc.R))
             gt13 = np.concatenate([np.asarray(wfc.t), q_gt, np.zeros(6)])
@@ -258,8 +329,10 @@ def main() -> int:
     if unused:
         print(f"WARNING: unused config parameters: {unused}")
     logger.write_json(args.out_internals)
-    print(f"avg frame dur={logger.avg_frame_processing_dur()*1e3:.1f}ms; "
-          f"internals -> {args.out_internals}")
+    ate = logger.ate_rmse()
+    ate_str = f" ate_rmse={ate:.5f}" if ate is not None else ""
+    print(f"avg frame dur={logger.avg_frame_processing_dur()*1e3:.1f}ms;"
+          f"{ate_str} internals -> {args.out_internals}")
     return 0
 
 

@@ -82,6 +82,15 @@ bool DecodePnmGray(const std::string& path, Frame* out) {
             const uint32_t r = rgb[3 * i], g = rgb[3 * i + 1], b = rgb[3 * i + 2];
             out->gray[i] = static_cast<uint8_t>((299 * r + 587 * g + 114 * b) / 1000);
         }
+    } else if (std::strcmp(magic, "P2") == 0) {
+        // ASCII PGM; same maxval scaling as the python reader
+        // (vision/picture.py: vals * 255 // maxval)
+        out->gray.resize(n);
+        for (size_t i = 0; i < n; ++i) {
+            const long v = read_int();
+            if (v < 0 || v > maxv) { std::fclose(f); return false; }
+            out->gray[i] = static_cast<uint8_t>(v * 255 / maxv);
+        }
     } else {
         std::fclose(f);
         return false;

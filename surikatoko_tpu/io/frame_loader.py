@@ -25,11 +25,13 @@ def _get_lib():
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    try:
+        # make is an mtime-checked no-op when the .so is current; running it
+        # unconditionally picks up source changes
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             _build_failed = True
             return None
     try:

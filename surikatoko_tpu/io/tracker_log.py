@@ -96,6 +96,21 @@ class TrackerInternalsLogger:
             return 0.0
         return float(np.mean([s.frame_processing_dur for s in self.slices]))
 
+    def ate_rmse(self) -> Optional[float]:
+        """Similarity-aligned trajectory ATE RMSE (the BASELINE accuracy
+        metric) from the recorded per-frame camera positions vs GT
+        (slices need cam_state_gt; reference logs the raw per-frame error
+        instead, davison-mono-slam.cpp:1781-1807)."""
+        pairs = [(s.cam_state[:3], s.cam_state_gt[:3]) for s in self.slices
+                 if s.cam_state is not None and s.cam_state_gt is not None]
+        if len(pairs) < 3:
+            return None
+        import jax.numpy as jnp
+        from surikatoko_tpu.geom.align import aligned_rmse
+        est = jnp.asarray(np.stack([p[0] for p in pairs]))
+        gt = jnp.asarray(np.stack([p[1] for p in pairs]))
+        return float(aligned_rmse(est, gt))
+
     def write_json(self, path: str) -> None:
         def arr(x):
             return None if x is None else [float(v) for v in np.asarray(x).ravel()]
@@ -126,6 +141,7 @@ class TrackerInternalsLogger:
         doc = {
             "FramesCount": len(self.slices),
             "AvgFrameProcessingDur": self.avg_frame_processing_dur(),
+            "AteRmse": self.ate_rmse(),
             "Frames": frames,
         }
         with open(path, "w") as f:

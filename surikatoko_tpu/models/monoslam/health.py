@@ -127,6 +127,102 @@ def reset_camera_to_gt(state: MonoSlamState, gt_cam13: jnp.ndarray,
     return state._replace(x=x, P=P)
 
 
+def reset_state_to_gt(
+    params, state: MonoSlamState, gt_cam13: jnp.ndarray,
+    gt_pix: jnp.ndarray, gt_rho: jnp.ndarray, slot_mask: jnp.ndarray, *,
+    impl: int = 2,
+    cam_pos_std: float = 0.0, cam_q_comp_std: float = 0.0,
+    cam_vel_std: float = 0.0, cam_ang_vel_std: float = 0.0,
+    sal_pnt_first_cam_pos_std: float = 0.0, sal_pnt_azimuth_std: float = 0.0,
+    sal_pnt_elevation_std: float = 0.0, sal_pnt_inv_dist_std: float = 0.0,
+    sal_pnt_pos_std: tuple = (0.0, 0.0, 0.0),
+) -> MonoSlamState:
+    """FULL manual recovery — the reference's 'u' hotkey
+    (SetEstimStateAndCovarToGroundTruth, davison-mono-slam.cpp:2117-2140):
+    rebuild the whole state from ground truth (camera 13-state + every
+    active landmark re-initialized from its GT pixel + inverse distance)
+    and re-derive the covariance with one of the reference's two strategies:
+
+    impl=1 (SetEstimStateCovarInEstimSpace :2015): zero P, camera diagonal
+      from the cam_*_std flags, per-landmark DIAGONAL blocks from the
+      sal_pnt_*_std_if_gt flags (spherical) / sal_pnt_pos_std (XYZ) —
+      correlations ignored.
+    impl=2 (SetEstimStateCovarLikeInAddNewSalPnt :2049): camera block as in
+      impl 1, then each landmark's covariance computed exactly as if
+      AddSalientPoint were called on it (A.67-A.79 propagation including
+      cross-covariances to all preceding variables). The reference
+      linearizes at each landmark's FIRST observing frame; here the caller
+      supplies the linearization observation (gt_pix/gt_rho, typically the
+      current frame) — same construction, explicit seam.
+
+    gt_pix/gt_rho are [K,2]/[K] per SLOT; slot_mask marks the active slots
+    to rebuild (others are zeroed and deactivated)."""
+    from surikatoko_tpu.models.monoslam import landmarks as lm_mod
+    from surikatoko_tpu.models.monoslam.state import REPRES_XYZ
+
+    Kcap = state.capacity
+    dtype = state.x.dtype
+    gt_cam13 = gt_cam13.astype(dtype)
+
+    cam_diag = jnp.concatenate([
+        jnp.full((3,), cam_pos_std ** 2), jnp.full((4,), cam_q_comp_std ** 2),
+        jnp.full((3,), cam_vel_std ** 2),
+        jnp.full((3,), cam_ang_vel_std ** 2)]).astype(dtype)
+    D = state.x.shape[0]
+    x0 = jnp.zeros((D,), dtype).at[:_N].set(gt_cam13)
+    P0 = jnp.zeros((D, D), dtype)
+    P0 = P0.at[jnp.arange(_N), jnp.arange(_N)].set(cam_diag)
+
+    if impl == 1:
+        # states and diagonal blocks, no correlations
+        y = jax.vmap(lambda p, r: lm_mod.new_landmark_state(
+            params, gt_cam13[:7], p, r))(gt_pix, gt_rho.astype(dtype))
+        if params.sal_pnt_repres == REPRES_XYZ:
+            blk = jnp.concatenate([
+                jnp.asarray(sal_pnt_pos_std, dtype) ** 2,
+                jnp.zeros((3,), dtype)])
+        else:
+            blk = jnp.asarray([
+                sal_pnt_first_cam_pos_std ** 2, sal_pnt_first_cam_pos_std ** 2,
+                sal_pnt_first_cam_pos_std ** 2, sal_pnt_azimuth_std ** 2,
+                sal_pnt_elevation_std ** 2, sal_pnt_inv_dist_std ** 2], dtype)
+
+        def write1(carry, inp):
+            x, P = carry
+            k, yk, ok = inp
+            off = _N + k * 6
+            x_n = jax.lax.dynamic_update_slice(x, yk, (off,))
+            P_n = jax.lax.dynamic_update_slice(
+                P, jnp.diag(blk), (off, off))
+            return (jnp.where(ok, x_n, x), jnp.where(ok, P_n, P)), None
+
+        (x, P), _ = jax.lax.scan(
+            write1, (x0, P0), (jnp.arange(Kcap), y, slot_mask))
+    else:
+        # like AddSalientPoint, slot-aligned (cross-covariances to all
+        # previously written vars via new_landmark_covariance's J_cam P row)
+        def write2(carry, inp):
+            x, P = carry
+            k, pix, rho, ok = inp
+            y, auto, cross = lm_mod.new_landmark_covariance(
+                params, x, P, pix, rho.astype(dtype),
+                params.sal_pnt_init_inv_dist_std)
+            off = _N + k * 6
+            x_n = jax.lax.dynamic_update_slice(x, y, (off,))
+            P_n = jax.lax.dynamic_update_slice(P, cross, (off, 0))
+            P_n = jax.lax.dynamic_update_slice(P_n, cross.T, (0, off))
+            P_n = jax.lax.dynamic_update_slice(P_n, auto, (off, off))
+            return (jnp.where(ok, x_n, x), jnp.where(ok, P_n, P)), None
+
+        (x, P), _ = jax.lax.scan(
+            write2, (x0, P0),
+            (jnp.arange(Kcap), gt_pix.astype(dtype), gt_rho, slot_mask))
+
+    return state._replace(
+        x=x, P=P, lm_active=jnp.asarray(slot_mask, bool),
+        lm_unobserved=jnp.where(slot_mask, 0, state.lm_unobserved))
+
+
 def check_state(state: MonoSlamState, atol: float = 1e-3) -> jnp.ndarray:
     """Cheap invariant check (quat unity, nonneg diag): scalar bool."""
     q_ok = jnp.abs(jnp.linalg.norm(state.x[3:7]) - 1.0) < atol

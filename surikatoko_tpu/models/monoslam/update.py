@@ -126,7 +126,14 @@ def one_obs_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sequential rank-2 updates, one observation at a time, recomputing the
     Jacobian at the running state (reference :1153-1523). lax.scan over slots;
-    masked slots are no-ops."""
+    masked slots are no-ops.
+
+    SCALING NOTE: each scan step writes a full [D,D] covariance, so a frame
+    costs K full HBM passes over P (one_component_update: 2K) — faithful to
+    the reference's semantics and fine at test sizes, but O(K) worse than
+    the stacked/fused update at the ~1k-landmark regime. Use update_impl=1
+    (or the fused step) for large-K runs; these exist for parity and for
+    their stronger per-observation relinearization."""
     Kcap = obs_mask.shape[0]
     r_var = params.measurm_noise_var.astype(x.dtype)
     h0, _, _ = measure.measurement_jacobians(params, x)

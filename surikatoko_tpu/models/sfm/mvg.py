@@ -7,10 +7,10 @@ Sampson correction :2558). Design notes vs the prototype:
 * everything is masked/batched (fixed-size correspondence arrays) and
   jit/vmap-safe — RANSAC vmaps these fitters over hypothesis sets;
 * the essential matrix is estimated by the normalized 8-point algorithm
-  projected onto the essential manifold (singular values -> (1,1,0)); the
-  prototype's Stewenius 5-point Grobner solver is replaced by
-  8-point + Sampson-error Gauss-Newton refinement (same capability —
-  minimal-case 5-point is a noted gap, tracked in PARITY.md);
+  projected onto the essential manifold (singular values -> (1,1,0)) plus
+  Sampson-error Gauss-Newton refinement; the minimal-case Stewenius 5-point
+  solver lives in models/sfm/five_point.py (runtime-derived polynomial
+  system instead of the prototype's shipped Grobner table);
 * all conventions: x2^T F x1 = 0 and x2^T E x1 = 0 with x = [u, v, 1];
   poses map frame1 -> frame2 (x2 ~ R x1 + t).
 """

@@ -57,6 +57,8 @@ def ncc_search(
     chi2_gate: float | None = None,
     templ_stats: templ_match.TemplateStats | None = None,
     use_pallas: bool = False,
+    min_search_rect: int = 7,      # reference monoslam_templ_min_search_rect_
+                                   # width/height (clamp, default 7x7)
 ) -> NccSearchResult:
     """Find each landmark's best template placement near its prediction."""
     K, T, _ = templates.shape
@@ -91,9 +93,9 @@ def ncc_search(
               + sigma_inv[:, None, None, 1, 1] * dy * dy)
         gate = md <= chi2_gate
         # always keep the predicted center itself searchable (min search rect,
-        # reference clamps the rect to at least 7x7: :623)
+        # reference clamps the rect to at least min_search_rect^2: :623)
         rr = jnp.maximum(jnp.abs(ox[None] - R), jnp.abs(oy[None] - R))
-        gate = jnp.logical_or(gate, rr <= 3)
+        gate = jnp.logical_or(gate, rr <= (min_search_rect - 1) // 2)
     # candidates whose template would cross the image border are invalid
     inside = ((cand_x >= half) & (cand_x < W - half)
               & (cand_y >= half) & (cand_y < H - half))
@@ -122,9 +124,10 @@ def ncc_search(
 
 
 def make_ncc_search(search_radius: int, min_corr_coeff: float = 0.5,
-                    chi2_gate: float | None = None, use_pallas: bool = False):
+                    chi2_gate: float | None = None, use_pallas: bool = False,
+                    min_search_rect: int = 7):
     """jit-ready closure over the static parameters."""
     return jax.jit(functools.partial(
         ncc_search, search_radius=search_radius,
         min_corr_coeff=min_corr_coeff, chi2_gate=chi2_gate,
-        use_pallas=use_pallas))
+        use_pallas=use_pallas, min_search_rect=min_search_rect))

@@ -38,6 +38,7 @@ class ImageTemplCornersMatcher:
         detector_max_corners: int = 50,
         ellipse_confidence: float = 0.95,
         max_center_jump_pix: float | None = None,
+        min_search_rect: int = 7,
     ):
         self.tracker = tracker
         self.templ_width = templ_width
@@ -48,7 +49,8 @@ class ImageTemplCornersMatcher:
         self.max_center_jump_pix = max_center_jump_pix
         chi2 = float(ell_mod.chi_square_quantile_2dof(ellipse_confidence))
         self._search = ncc_mod.make_ncc_search(
-            search_radius, min_corr_coeff, chi2_gate=chi2)
+            search_radius, min_corr_coeff, chi2_gate=chi2,
+            min_search_rect=min_search_rect)
         K = tracker.capacity
         self.templates = np.zeros((K, templ_width, templ_width), np.float32)
         self.templ_valid = np.zeros(K, bool)

@@ -48,7 +48,8 @@ def _read_pnm(path: str) -> np.ndarray:
 
 def load_picture(path: str) -> Picture:
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".pgm", ".ppm", ".pnm"):
+    is_pnm = ext in (".pgm", ".ppm", ".pnm")
+    if is_pnm:
         img = _read_pnm(path)
     else:
         try:
@@ -60,9 +61,13 @@ def load_picture(path: str) -> Picture:
             raise ValueError(
                 f"can't load {path}: only PGM/PPM supported without OpenCV")
     if img.ndim == 3:
-        bgr = img[..., :3]
-        gray = (0.114 * bgr[..., 0] + 0.587 * bgr[..., 1]
-                + 0.299 * bgr[..., 2]).astype(np.uint8)
+        # PNM P6 is RGB by spec; cv2 decodes BGR. Normalize to BGR for the
+        # debug image and use BT.601 integer luma (byte-identical to the
+        # native loader, native/frameloader.cpp DecodePnmGray).
+        bgr = img[..., ::-1] if is_pnm else img[..., :3]
+        b32 = bgr.astype(np.uint32)
+        gray = ((114 * b32[..., 0] + 587 * b32[..., 1] + 299 * b32[..., 2])
+                // 1000).astype(np.uint8)
         return Picture(gray=gray, bgr_debug=bgr)
     return Picture(gray=img.astype(np.uint8))
 

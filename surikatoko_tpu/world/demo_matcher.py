@@ -34,6 +34,7 @@ class DemoCornersMatcher:
         detection_noise_std: float = 0.0,
         match_drop_prob: float = 0.0,
         max_new_per_frame: int | None = None,
+        max_new_in_first_frame: int | None = None,
         provide_gt_inv_depth: bool = True,
         seed: int = 0,
     ):
@@ -44,6 +45,11 @@ class DemoCornersMatcher:
         self.detection_noise_std = detection_noise_std
         self.match_drop_prob = match_drop_prob
         self.max_new = max_new_per_frame or tracker.max_new_per_frame
+        # reference monoslam_max_new_blobs_in_first_frame (default 7) vs
+        # _per_frame (default 1): the bootstrap frame gets a larger budget
+        self.max_new_first = (max_new_in_first_frame
+                              if max_new_in_first_frame is not None
+                              else self.max_new)
         self.provide_gt_inv_depth = provide_gt_inv_depth
         self.rng = np.random.default_rng(seed)
         self.suppress_observations = False   # the 's' hotkey fault injection
@@ -103,8 +109,11 @@ class DemoCornersMatcher:
         """(new_pix [M,2], new_mask [M], gt_inv_dist [M], frag_ids [M]).
 
         Picks visible GT fragments not yet tracked, up to the per-frame cap
-        and free-slot budget."""
-        M = self.max_new
+        (first-frame cap on frame 0) and free-slot budget. The returned
+        arrays are padded to the LARGER of the two caps so jit signatures
+        stay stable."""
+        M = max(self.max_new, self.max_new_first)
+        cap = self.max_new_first if frame_ind == 0 else self.max_new
         new_pix = np.zeros((M, 2))
         new_mask = np.zeros(M, bool)
         gt_rho = np.full(M, np.nan)
@@ -115,7 +124,7 @@ class DemoCornersMatcher:
 
         pix, visible = self._project_frame(frame_ind)
         free_slots = int(np.sum(~np.asarray(state.lm_active)))
-        budget = min(M, free_slots)
+        budget = min(cap, free_slots)
         candidates = np.nonzero(visible & (self.frag_to_slot < 0))[0]
         chosen = candidates[:budget]
         if len(chosen) and self.provide_gt_inv_depth:
@@ -130,6 +139,29 @@ class DemoCornersMatcher:
         frag_out[: len(chosen)] = chosen
         return (jnp.asarray(new_pix), jnp.asarray(new_mask),
                 jnp.asarray(gt_rho), frag_out)
+
+    def gt_state_for_reset(self, state: MonoSlamState, frame_ind: int
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(gt_pix [K,2], gt_rho [K], slot_mask [K]) for
+        health.reset_state_to_gt — the GT projection and inverse distance of
+        every tracked slot at `frame_ind`, regardless of image visibility
+        (the reference's gt_sal_pnt_in_camera_fun,
+        demo-davison-mono-slam.cpp:1540-1552, supplies camera-frame
+        direction+distance the same way)."""
+        K = self.tracker.capacity
+        pix = np.zeros((K, 2))
+        rho = np.full(K, 1.0)
+        mask = np.zeros(K, bool)
+        all_pix, _ = self._project_frame(frame_ind)
+        active = np.asarray(state.lm_active)
+        for slot in np.nonzero(active)[0]:
+            frag = self.slot_to_frag[slot]
+            if frag < 0:
+                continue
+            pix[slot] = all_pix[frag]
+            rho[slot] = self._gt_inv_depth(np.asarray([frag]), frame_ind)[0]
+            mask[slot] = True
+        return pix, rho, mask
 
     def on_landmarks_added(self, slots: np.ndarray, frag_ids: np.ndarray,
                            state: MonoSlamState) -> None:

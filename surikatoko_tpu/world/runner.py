@@ -26,18 +26,26 @@ class ScenarioResult(NamedTuple):
 
 def init_tracker_state_from_gt(tracker: MonoSlamFilter, gt_cfw: SE3,
                                dt: float = 1.0,
-                               with_velocity: bool = True) -> MonoSlamState:
+                               with_velocity: bool = True,
+                               with_ang_velocity: bool | None = None,
+                               ) -> MonoSlamState:
     """First camera anchors the tracker frame (identity pose, zero covar);
-    optionally seed GT initial velocity (reference SetCameraVelocity path)."""
+    optionally seed GT initial linear/angular velocity — the reference's
+    independent monoslam_cam_perfect_init_vel / _ang_vel switches feeding
+    SetCameraVelocity (demo-davison-mono-slam.cpp:1497-1506)."""
     from surikatoko_tpu.world import scene_gen
 
+    if with_ang_velocity is None:
+        with_ang_velocity = with_velocity
     kwargs = {}
-    if with_velocity and gt_cfw.t.shape[0] >= 2:
+    if (with_velocity or with_ang_velocity) and gt_cfw.t.shape[0] >= 2:
         cfw0 = SE3(gt_cfw.R[0], gt_cfw.t[0])
         cfw1 = SE3(gt_cfw.R[1], gt_cfw.t[1])
         v, w = scene_gen.initial_camera_motion(cfw0, cfw1, dt)
-        kwargs["cam_vel"] = np.asarray(v)
-        kwargs["cam_ang_vel"] = np.asarray(w)
+        if with_velocity:
+            kwargs["cam_vel"] = np.asarray(v)
+        if with_ang_velocity:
+            kwargs["cam_ang_vel"] = np.asarray(w)
     return tracker.init_state(**kwargs)
 
 
