@@ -121,9 +121,14 @@ def main() -> None:
     K_big = 768
     cam_big = camera.make_intrinsics((640, 480), (320.0, 240.0), 1.95,
                                      (0.005, 0.005), dtype=dtype)
+    # max_undetected_frames + covar_diag_inflation: without them the f32
+    # innovation goes indefinite after ~120 chained K=768 frames (stale
+    # landmark blocks inflate unboundedly) — measured 2026-08-19
     params_big = make_params(cam_big, None, dt=1.0,
                              process_noise_lin_veloc_std=0.075,
-                             process_noise_ang_veloc_std=0.01, dtype=dtype)
+                             process_noise_ang_veloc_std=0.01,
+                             max_undetected_frames=60,
+                             covar_diag_inflation=1e-6, dtype=dtype)
     sc_big = build_imageseq_scenario(capacity=K_big, dtype=dtype,
                                      image_size=(640, 480))
     st_big = init_state(K_big, dtype=dtype)

@@ -77,6 +77,7 @@ def fused_update_health_predict(
     params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
     obs: jnp.ndarray, obs_mask: jnp.ndarray,
     *, precomputed: tuple | None = None,
+    deactivate_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One frame of the closed loop with update_impl=1.
 
@@ -122,8 +123,17 @@ def fused_update_health_predict(
     B, y = By[:, :-1], By[:, -1]                        # [2K,D], [2K]
     x1 = x + B.T @ y
 
-    # --- keep mask from diag(P - B^T B), no P1 materialization ---
+    # --- keep mask from diag(P - B^T B), no P1 materialization.
+    # deactivate_mask (optional, [K] bool) folds landmark REMOVAL (the
+    # reference's delete-unobserved policy, davison-mono-slam.cpp:799-840)
+    # into the same diagonal congruence — removal costs nothing extra. ---
     keep = ((jnp.diag(P) - jnp.sum(B * B, axis=0)) >= 0).astype(dtype)
+    if deactivate_mask is not None:
+        keep_lm = jnp.repeat(jnp.logical_not(deactivate_mask), 6).astype(dtype)
+        keep = keep.at[_N:].mul(keep_lm)
+        lm_zero = jnp.repeat(deactivate_mask, 6)
+        x1 = jnp.where(jnp.concatenate(
+            [jnp.zeros((_N,), bool), lm_zero]), 0.0, x1)
     kc, km = keep[:_N], keep[_N:]
 
     x_next, Cp, G = camera_epilogue(params, x1, Kcap)
@@ -142,5 +152,17 @@ def fused_update_health_predict(
     bottom = jnp.concatenate([top[:, _N:].T, bottom_right], axis=1)
     Pw = jnp.concatenate([top, bottom], axis=0)         # V P V^T + GQG embed
     P_next = Pw - B2.T @ B2                             # epilogue-fused write
+    if params.covar_diag_inflation is not None:
+        # per-frame diagonal inflation: counters the slow PSD loss of f32
+        # downdates (measured: the 1536-dim innovation goes indefinite by
+        # ~2e-5 of its scale after ~120 chained K=768 frames). Statistically
+        # a tiny extra process noise on every variable; the reference's f64
+        # never needed it. Only variables with live (positive) variance
+        # inflate — deactivated slots and the zero-covariance gauge anchor
+        # stay exactly zero.
+        infl = params.covar_diag_inflation.astype(dtype)
+        d = jnp.arange(P_next.shape[0])
+        dg = jnp.diag(P_next)
+        P_next = P_next.at[d, d].add(jnp.where(dg > 0, infl * keep, 0.0))
 
     return x_next, P_next, resid, x1

@@ -57,6 +57,10 @@ class MonoSlamParams(NamedTuple):
     # divergence_pix / monoslam_1pransac_high_innov_chisq_thr_pix2)
     ransac_corner_max_divergence_pix: jnp.ndarray | None = None  # None -> noise std
     ransac_high_innov_chi_square_thresh: jnp.ndarray | None = None  # None -> 9.21034
+    # per-frame covariance diagonal inflation (TPU-f32 conditioning: keeps P
+    # positive definite over thousands of chained downdates; the reference's
+    # f64 never needed it — see fused_step). 0.0 = off.
+    covar_diag_inflation: jnp.ndarray | None = None
 
 
 class MonoSlamState(NamedTuple):
@@ -109,6 +113,7 @@ def make_params(
     sal_pnt_init_inv_dist_std: float = 1.0,
     sal_pnt_negative_inv_rho_substitute: float = 1e-4,
     max_undetected_frames: int = 0,   # 0 = never delete for being unobserved
+    covar_diag_inflation: float = 0.0,
     covar2d_to_ellipse_confidence: float = 0.95,
     sal_pnt_repres: int = REPRES_SPHERICAL,
     ransac_corner_max_divergence_pix: float | None = None,
@@ -143,6 +148,9 @@ def make_params(
             else jnp.asarray(ransac_corner_max_divergence_pix, dtype)),
         ransac_high_innov_chi_square_thresh=jnp.asarray(
             ransac_high_innov_chi_square_thresh, dtype),
+        # None when off: the fused steps skip the diagonal scatter entirely
+        covar_diag_inflation=(None if covar_diag_inflation == 0.0
+                              else jnp.asarray(covar_diag_inflation, dtype)),
     )
 
 

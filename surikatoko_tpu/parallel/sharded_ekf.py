@@ -169,6 +169,18 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
         B2, (jnp.zeros((), jnp.int32), col0), (2 * K, L * 6))
     lm_cols = (km_own[:, None] * (Pl[:, _N:] * km[None, :])
                - B2_own.T @ B2[:, _N:])
+    if params.covar_diag_inflation is not None:
+        # same live-diagonal inflation as the single-chip fused step
+        infl = params.covar_diag_inflation.astype(dtype)
+        idx = jnp.arange(_N)
+        dgc = P_cam_new[idx, idx]
+        P_cam_new = P_cam_new.at[idx, idx].add(
+            jnp.where(dgc > 0, infl * kc, 0.0))
+        rows = jnp.arange(L * 6)
+        cols = (col0 - _N) + rows
+        dgl = lm_cols[rows, cols]
+        lm_cols = lm_cols.at[rows, cols].add(
+            jnp.where(dgl > 0, infl * km_own, 0.0))
     P_lm_new = jnp.concatenate([cam_cols, lm_cols], axis=1).reshape(L, 6, D)
 
     return x_next, P_cam_new, P_lm_new, resid_loc, x1

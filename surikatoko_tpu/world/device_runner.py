@@ -211,6 +211,17 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
         # the fused update below (masking is an exact row/col scaling).
         h, Hcam, Hlm = measure.measurement_jacobians(params, state.x)
         Kcap = state.capacity
+        # NaN-safety: a diverged landmark's Jacobian row can be non-finite
+        # while UNMATCHED — and the precomputed fused update scales rows by
+        # the mask, where 0*nan = nan would poison the whole innovation
+        # system (the masked-slot NaN rule, see geom/so3.exp). Zero such
+        # rows and force them unmatchable.
+        row_ok = (jnp.all(jnp.isfinite(h), axis=-1)
+                  & jnp.all(jnp.isfinite(Hcam.reshape(Kcap, -1)), axis=-1)
+                  & jnp.all(jnp.isfinite(Hlm.reshape(Kcap, -1)), axis=-1))
+        h = jnp.where(row_ok[:, None], h, 0.0)
+        Hcam = jnp.where(row_ok[:, None, None], Hcam, 0.0)
+        Hlm = jnp.where(row_ok[:, None, None], Hlm, 0.0)
         H_un = update_mod._dense_h(Hcam, Hlm)            # [2K, D]
         A_un = H_un @ state.P                            # [2K, D]
         T_un = A_un @ H_un.T                             # [2K, 2K]
@@ -230,13 +241,25 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
             search_radius=search_radius, min_corr_coeff=min_corr_coeff,
             sigma_inv=sigma_inv, chi2_gate=chi2_gate, use_pallas=use_pallas)
         obs = res.best_center
-        obs_mask = jnp.logical_and(res.matched, state.lm_active)
+        obs_mask = (res.matched & state.lm_active & row_ok)
+
+        # delete-unobserved policy (reference
+        # RemoveLongTermUnobservedSalientPoints :799-840): long-unmatched
+        # landmarks' covariance blocks inflate without bound and eventually
+        # cost the f32 innovation its positive-definiteness; fold their
+        # removal into the fused congruence (free)
+        unobs = jnp.where(obs_mask, 0, state.lm_unobserved + 1)
+        drop = ((params.max_undetected_frames > 0)
+                & (unobs > params.max_undetected_frames)
+                & state.lm_active)
+        state = state._replace(lm_unobserved=unobs,
+                               lm_active=state.lm_active & ~drop)
 
         if update_impl == 1:
             x_next, P_next, resid, x_upd = (
                 fused_mod.fused_update_health_predict(
                     params, state.x, state.P, obs, obs_mask,
-                    precomputed=(h, A_un, T_un)))
+                    precomputed=(h, A_un, T_un), deactivate_mask=drop))
             state = state._replace(x=x_next, P=P_next)
         else:
             x, P, resid, _, _ = update_mod.one_point_ransac_update(

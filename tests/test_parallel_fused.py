@@ -47,6 +47,21 @@ def test_sharded_fused_step_matches_single(params, rng):
     np.testing.assert_array_equal(np.asarray(P2), np.asarray(P2).T)
 
 
+def test_sharded_fused_step_matches_single_with_inflation(rng):
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                 (0.01, 0.01))
+    params = make_params(cam, None, dt=1.0, covar_diag_inflation=1e-4)
+    x, P = rand_problem(rng)
+    obs_mask = jnp.ones(K, bool)
+    h0 = measure.project_all(params, x)
+    obs = h0 + jnp.asarray(rng.normal(scale=0.5, size=(K, 2)))
+    ref = fused_update_health_predict(params, x, P, obs, obs_mask)
+    step = make_sharded_fused_step(params, K, landmark_mesh(4))
+    x2, P2, _, _ = step(x, P, obs, obs_mask)
+    np.testing.assert_allclose(x2, ref[0], atol=1e-10)
+    np.testing.assert_allclose(P2, ref[1], atol=1e-10)
+
+
 def test_sharded_fused_step_mesh_sizes(params, rng):
     x, P = rand_problem(rng)
     obs_mask = jnp.ones(K, bool)
