@@ -149,18 +149,21 @@ def solve_corrections_schur_sparse(
 
     S = G_diag - sum_i F_i^T E_i^-1 F_i is computed as G_diag - B^T B with
     B_i = L_i^-1 F_i (E_i = L_i L_i^T batched 3x3 Cholesky): per point chunk,
-    the L-track sparse rows expand into a dense [3*pc, 10F] strip via a
-    one-hot batched matmul and ONE [10F, 3*pc] @ [3*pc, 10F] product
+    the L-track sparse rows expand into a dense TRANSPOSED [10F, 3*pc] strip
+    via a one-hot batched matmul and ONE [10F, 3*pc] @ [3*pc, 10F] product
     accumulates every (l, m) frame-pair cross term. This replaces the direct
     form's pc*L^2 10x10 block scatter-adds (the reference's per-point loop,
     bundle-adj-kanatani.cpp:1888): the O(pc * (10F)^2) FLOPs of the dense
     strip product are ~40x the nonzero work at L=12, F=500, but the MXU runs
     them two orders of magnitude faster than TPU scatter-adds — measured
-    17.2 TFLOP/s = 57% of the chip's f32 matmul ceiling and 2.7x faster LM
-    iterations (3.5 -> 9.4/s) on the 10k x 500 configuration
-    (analysis/roofline_schur.py). The rhs reduction and the point
-    back-substitution ride the same Cholesky factor (no batched 3x3
-    inverse). Exact same math: zero rows multiply to zero."""
+    21.8 TFLOP/s = 71.7% of the chip's honestly-measured f32 matmul ceiling
+    and 3.3x faster LM iterations (3.5 -> 11.4/s) on the 10k x 500
+    configuration (analysis/roofline_schur.py). The transposed strip layout
+    (point dim minor = 128-lane aligned) matters: the [pc,3,F,10] form puts
+    the 10-wide block in the lane dimension and the (8,128) tiling pads its
+    HBM writes ~12.8x (measured 81 -> 64 ms for the reduction). The rhs
+    reduction and the point back-substitution ride the same Cholesky factor
+    (no batched 3x3 inverse). Exact same math: zero rows multiply to zero."""
     Np, L = blocks.Fpf.shape[0], blocks.Fpf.shape[1]
     F = p.n_frames
     dtype = blocks.E.dtype
@@ -196,11 +199,15 @@ def solve_corrections_schur_sparse(
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * pc, pc)
         Bc, Rc, fc = sl(Bp), sl(Rp), sl(fidxp)
         # one-hot matmuls instead of scatters: TPU scatter-add of pc*L small
-        # blocks is ~2x slower than this batched [F,L]@[L,3*10] expansion
+        # blocks is ~2x slower than this batched one-hot expansion. The
+        # strip is built TRANSPOSED ([10F, 3pc], point dim minor): the
+        # [pc,3,F,10] form puts the 10-wide block in the lane dimension, so
+        # the (8,128) tiling pads its writes ~12.8x — measured 81 -> 64 ms
+        # for the whole reduction at 10k x 500 (2026-08-19, v5e).
         oh = jax.nn.one_hot(fc, F, dtype=dtype)             # [pc,L,F]
-        strip = jnp.einsum("ilf,ialb->iafb", oh, Bc)        # [pc,3,F,10]
-        Bm = strip.reshape(pc * 3, F * FRAME_VARS)
-        return S + Bm.T @ Bm, red + jnp.einsum("ilf,ilb->fb", oh, Rc)
+        Bm = jnp.einsum("ilf,ialb->fbai", oh, Bc).reshape(
+            F * FRAME_VARS, pc * 3)                         # [10F, 3pc]
+        return S + Bm @ Bm.T, red + jnp.einsum("ilf,ilb->fb", oh, Rc)
 
     Sg, red = jax.lax.fori_loop(0, n_chunks, chunk_body, (S0, red0))
     S2 = (jnp.einsum("fab,fg->fagb", G, jnp.eye(F, dtype=dtype))
@@ -383,15 +390,16 @@ def _banded_reduction(E_d, Fpf, gp, frame_idx, obs_mask, plan: BandPlan,
         base = jnp.minimum(fmin_s[c * pc], F - W)
         # masked obs have fidx 0: fc - base may go negative there, and
         # one_hot maps out-of-range to an all-zero row — harmless because
-        # the matching Bv/Rv rows are exact zeros too
+        # the matching Bv/Rv rows are exact zeros too. Strip built
+        # TRANSPOSED (point dim minor) — see solve_corrections_schur_sparse.
         oh = jax.nn.one_hot(fc - base, W, dtype=dtype)      # [pc,L,W]
-        strip = jnp.einsum("ilf,ialb->iafb", oh, Bc)        # [pc,3,W,10]
-        Bm = strip.reshape(pc * 3, W * FRAME_VARS)
+        Bm = jnp.einsum("ilf,ialb->fbai", oh, Bc).reshape(
+            W * FRAME_VARS, pc * 3)                         # [10W, 3pc]
         b10 = FRAME_VARS * base
         zero = jnp.zeros((), base.dtype)
         cur = jax.lax.dynamic_slice(
             S, (b10, b10), (FRAME_VARS * W, FRAME_VARS * W))
-        S = jax.lax.dynamic_update_slice(S, cur + Bm.T @ Bm, (b10, b10))
+        S = jax.lax.dynamic_update_slice(S, cur + Bm @ Bm.T, (b10, b10))
         cur_r = jax.lax.dynamic_slice(red, (base, zero), (W, FRAME_VARS))
         red = jax.lax.dynamic_update_slice(
             red, cur_r + jnp.einsum("ilf,ilb->fb", oh, Rc), (base, zero))
@@ -403,9 +411,9 @@ def _banded_reduction(E_d, Fpf, gp, frame_idx, obs_mask, plan: BandPlan,
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, nb * pc + d * pco, pco)
         Bc, Rc, fc = sl(Bv), sl(Rv), sl(fidx_s)
         oh = jax.nn.one_hot(fc, F, dtype=dtype)             # [pco,L,F]
-        strip = jnp.einsum("ilf,ialb->iafb", oh, Bc)        # [pco,3,F,10]
-        Bm = strip.reshape(pco * 3, F * FRAME_VARS)
-        return S + Bm.T @ Bm, red + jnp.einsum("ilf,ilb->fb", oh, Rc)
+        Bm = jnp.einsum("ilf,ialb->fbai", oh, Bc).reshape(
+            F * FRAME_VARS, pco * 3)                        # [10F, 3pco]
+        return S + Bm @ Bm.T, red + jnp.einsum("ilf,ilb->fb", oh, Rc)
 
     carry = jax.lax.fori_loop(0, nb, banded_body, (S0, red0))
     Sg, red = jax.lax.fori_loop(0, no, full_body, carry)

@@ -144,11 +144,12 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
             S, red = carry
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * pc, pc)
             Bc, Rc, fc = sl(Bp), sl(Rp), sl(fp)
-            # one-hot matmuls beat TPU scatter-add (see models/ba/sparse.py)
+            # one-hot matmuls beat TPU scatter-add; TRANSPOSED strip (point
+            # dim minor) avoids 12.8x tile-padded writes — models/ba/sparse.py
             oh = jax.nn.one_hot(fc, F, dtype=dtype)         # [pc,L,F]
-            strip = jnp.einsum("ilf,ialb->iafb", oh, Bc)    # [pc,3,F,10]
-            Bm = strip.reshape(pc * 3, F * FRAME_VARS)
-            return S - Bm.T @ Bm, red + jnp.einsum("ilf,ilb->fb", oh, Rc)
+            Bm = jnp.einsum("ilf,ialb->fbai", oh, Bc).reshape(
+                F * FRAME_VARS, pc * 3)                     # [10F, 3pc]
+            return S - Bm @ Bm.T, red + jnp.einsum("ilf,ilb->fb", oh, Rc)
 
         S_part, red_part = jax.lax.fori_loop(
             0, Bp.shape[0] // pc, chunk_body, (S0, red0))

@@ -5,8 +5,8 @@ Matplotlib equivalent of the reference's Pangolin scene window
 (SceneVisualizationPangolinGui, demo-davison-mono-slam-ui.h:77) and the
 prototype's pygame viewer (uivis.py): draws camera frustums along the
 trajectory, landmark point cloud, and 3-sigma uncertainty ellipsoids.
-Headless-friendly (save to PNG); no interactive hotkeys — fault injection is
-scripted via demo flags instead.
+Headless post-hoc rendering; the LIVE per-frame viewer with the s/u/i/q
+hotkeys is viz/live_view.py.
 """
 
 from __future__ import annotations
