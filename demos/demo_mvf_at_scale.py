@@ -36,6 +36,11 @@ def main() -> int:
     ap.add_argument("--window_ba_every", type=int, default=5,
                     help="sliding-window local BA cadence (frames)")
     ap.add_argument("--window", type=int, default=25)
+    ap.add_argument("--global_ba_every", type=int, default=50,
+                    help="periodic global sparse BA cadence (frames); "
+                         "shapes are bucket-padded so reruns hit the jit "
+                         "cache")
+    ap.add_argument("--global_ba_iters", type=int, default=8)
     ap.add_argument("--ba_iters", type=int, default=5,
                     help="LM iterations of the timed final global BA")
     ap.add_argument("--f32", action="store_true")
@@ -88,7 +93,8 @@ def main() -> int:
     mvf = MultiViewFactorizer(
         track_store=ts, K=K, use_sparse_ba=True,
         ba_trigger_reproj_err=float("inf"),   # BA on our own schedule
-        ba_term_rel_change=None, ba_max_iters=3)
+        ba_term_rel_change=None, ba_max_iters=args.global_ba_iters,
+        ba_point_bucket=2048, ba_frame_bucket=100)
     obs_bytes = ts.pixels.nbytes + ts.coords.nbytes + ts.fidx.nbytes
     dense_bytes = n_pts * n_frames * (2 * 8 + 1)
     print(f"points={n_pts} frames={n_frames} L={L} "
@@ -127,9 +133,14 @@ def main() -> int:
             tb = time.time()
             mvf.run_windowed_ba(window=args.window)
             ba_time += time.time() - tb
+        if args.global_ba_every and (f + 1) % args.global_ba_every == 0:
+            tb = time.time()
+            mvf._run_ba()     # bucket-padded: reruns hit the jit cache
+            ba_time += time.time() - tb
         if (f + 1) % 100 == 0:
             print(f"frame {f}: map={len(mvf.point_coords)} "
-                  f"windowed_ba_runs={mvf.ba_runs} fails={n_fail}")
+                  f"ba_runs={mvf.ba_runs} fails={n_fail} "
+                  f"ba_time={ba_time:.0f}s", flush=True)
     t_integrate = time.time() - t_int0 - ba_time
     fps = (n_frames - 2) / t_integrate
 

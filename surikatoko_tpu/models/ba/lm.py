@@ -198,8 +198,11 @@ class SparseBundleAdjustment:
         self._dev_key = None
 
     def _plan_band(self, p):
-        """Host-side banding plan + jitted local solver (once per problem;
-        the observation structure does not change across LM iterations)."""
+        """Host-side banding plan + jitted local solver. The compiled solver
+        depends only on the band GEOMETRY (W, chunk counts/sizes) — the
+        point permutation ext_idx is a traced argument, so re-planning a
+        grown problem with the same geometry reuses the compiled program
+        (the MVF's periodic global BA re-plans every run)."""
         pins = tuple(int(f) for f in self.pin_frames)
         plan = None
         if self.band and self.mesh is not None:
@@ -208,19 +211,30 @@ class SparseBundleAdjustment:
                 self.point_chunk, p.n_frames)
             sig = None if plan is None else (
                 plan.band_width, plan.n_banded_chunks, plan.overflow_chunk,
-                plan.ext_idx.tobytes())
+                plan.point_chunk, plan.ext_idx.shape)
+            self._mesh_band_plan = plan
+            self._band_ext = (None if plan is None
+                              else jnp.asarray(plan.ext_idx))
+            ext_sig = None if plan is None else plan.ext_idx.tobytes()
+            if getattr(self, "_ext_sig", ...) != ext_sig:
+                self._ext_sig = ext_sig
+                self._dev_run = None         # device loop bakes ext in
             if getattr(self, "_band_sig", ...) != sig:
                 self._band_sig = sig
                 self._dev_run = None
-                self._solver = None          # rebuild with the new plan
-                self._mesh_band_plan = plan
+                self._solver = None          # rebuild with the new geometry
             return
         if self.band and self.mesh is None:
             plan = self._sp.plan_bands(
                 p.frame_idx, p.obs_mask, self.point_chunk, p.n_frames)
         sig = None if plan is None else (
             plan.band_width, plan.n_banded_chunks, plan.overflow_chunk,
-            plan.ext_idx.tobytes())
+            plan.point_chunk, plan.ext_idx.shape)
+        self._band_ext = None if plan is None else jnp.asarray(plan.ext_idx)
+        ext_sig = None if plan is None else plan.ext_idx.tobytes()
+        if getattr(self, "_ext_sig", ...) != ext_sig:
+            self._ext_sig = ext_sig
+            self._dev_run = None             # device loop bakes ext in
         if getattr(self, "_band_sig", ...) == sig:
             return
         self._band_sig = sig
@@ -250,9 +264,14 @@ class SparseBundleAdjustment:
                     self.point_chunk,
                     tuple(int(f) for f in self.pin_frames),
                     band_plan=getattr(self, "_mesh_band_plan", None))
+            if getattr(self, "_mesh_band_plan", None) is not None:
+                return self._solver(p, blocks, factor, self._band_ext)
             return self._solver(p, blocks, factor)
         if not hasattr(self, "_local_solver"):
             self._plan_band(p)
+        if self._band_ext is not None:
+            return self._local_solver(p, blocks, factor,
+                                      ext_idx=self._band_ext)
         return self._local_solver(p, blocks, factor)
 
     def compute_inplace(self, p, term_crit: TermCriteria | None = None):

@@ -336,20 +336,26 @@ def plan_bands_sharded(frame_idx, obs_mask, n_dev: int, point_chunk: int,
 
 
 def _banded_reduction(E_d, Fpf, gp, frame_idx, obs_mask, plan: BandPlan,
-                      F: int):
+                      F: int, ext=None):
     """Gram reduction over one point set in banded (extended) order.
 
     Returns (Sg [10F,10F], red [F,10], Lch, Fpf_s, gp_s, fidx_s, ext) where
     the *_s arrays and the per-point Cholesky factor are in extended order
     for back-substitution, and ``ext`` maps extended rows to original point
     indices (sentinel Np for pads). Shared by the local solver and the
-    per-shard body of the distributed one."""
+    per-shard body of the distributed one.
+
+    ``ext`` may be passed as a TRACED array (same shape as plan.ext_idx):
+    only the band geometry (W, chunk counts/sizes) is compile-time static,
+    so re-planning on a grown problem with unchanged geometry reuses the
+    compiled program (the MVF's periodic global BA relies on this)."""
     Np, L = Fpf.shape[0], Fpf.shape[1]
     W = int(plan.band_width)
     pc = int(plan.point_chunk)
     pco = int(plan.overflow_chunk)
     nb = int(plan.n_banded_chunks)
-    ext = jnp.asarray(plan.ext_idx)
+    if ext is None:
+        ext = jnp.asarray(plan.ext_idx)
     Next = ext.shape[0]
     no = (Next - nb * pc) // pco            # overflow chunks
     dtype = E_d.dtype
@@ -422,7 +428,7 @@ def _banded_reduction(E_d, Fpf, gp, frame_idx, obs_mask, plan: BandPlan,
 
 def solve_corrections_schur_banded(
     p: BAProblemSparse, blocks: SparseBlocks, hessian_factor,
-    plan: BandPlan,
+    plan: BandPlan, ext_idx=None,
     unity_comp_ind: int = 1, optimize_intrinsics: bool = True,
     pin_frames: tuple = (),
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -444,7 +450,8 @@ def solve_corrections_schur_banded(
 
     E_d = _damp(blocks.E, hessian_factor)
     Sg, red, Lch, Fpf_s, gp_s, fidx_s, ext = _banded_reduction(
-        E_d, blocks.Fpf, blocks.gp, p.frame_idx, p.obs_mask, plan, F)
+        E_d, blocks.Fpf, blocks.gp, p.frame_idx, p.obs_mask, plan, F,
+        ext=ext_idx)
     S2 = (jnp.einsum("fab,fg->fagb", G, jnp.eye(F, dtype=dtype))
           .reshape(F * FRAME_VARS, F * FRAME_VARS) - Sg)
 

@@ -155,6 +155,23 @@ _batched_depth = jax.jit(jax.vmap(rm.estimate_point_depth))
 _batched_refine_point = jax.jit(jax.vmap(rm.refine_point_gn))
 
 
+@functools.partial(jax.jit, static_argnames=("refine",))
+def _triangulate_refine_jit(x_base, xs, R_fb, T_fb, msk,
+                            obs_w, R_w, t_w, msk_w, Rb, tb, refine: bool):
+    """Linear MASKS-8.44 depth + world lift + optional GN polish as ONE
+    device program (host loops pay a full tunnel round-trip per dispatch).
+    Returns (x_world [N,3], depth [N])."""
+    depth = jax.vmap(rm.estimate_point_depth)(x_base, xs, R_fb, T_fb, msk)
+    d_ok = jnp.isfinite(depth) & (depth > 0)
+    d_safe = jnp.where(d_ok, depth, 1.0)
+    x_lin = jnp.einsum("nji,nj->ni", Rb, x_base * d_safe[:, None] - tb)
+    if refine:
+        x_ref = jax.vmap(rm.refine_point_gn)(x_lin, obs_w, R_w, t_w, msk_w)
+        good = jnp.all(jnp.isfinite(x_ref), axis=1)
+        x_lin = jnp.where(good[:, None], x_ref, x_lin)
+    return x_lin, jnp.where(d_ok, depth, -1.0)
+
+
 @jax.jit
 def _sparse_reproj_err(points, cfw_R, cfw_t, K, obs, frame_idx, obs_mask, f0):
     p = BAProblemSparse(points=points, cfw_R=cfw_R, cfw_t=cfw_t, K=K,
@@ -182,6 +199,11 @@ class MultiViewFactorizer:
     sparse_ba_threshold: int = 200_000   # Np * F dense-grid cells
     ba_mesh: object = None               # jax.sharding.Mesh for sparse BA
     ba_point_chunk: int = 2048
+    # jit-stability buckets for periodic global BA on a growing problem:
+    # points padded to a power-of-two multiple of ba_point_bucket, frames
+    # padded (and pinned) to multiples of ba_frame_bucket -> O(log) compiles
+    ba_point_bucket: int = 0             # 0 = pad to mesh granularity only
+    ba_frame_bucket: int = 0             # 0 = exact frame count
     # state
     cam_cfw_R: list = field(default_factory=list)
     cam_cfw_t: list = field(default_factory=list)
@@ -191,6 +213,7 @@ class MultiViewFactorizer:
     _ba_points: set = field(default_factory=set)   # tids refined by BA
     _window_ba: object = field(default=None)
     _window_ba_key: tuple = field(default=None)
+    _ba_cache: dict = field(default_factory=dict)
 
     def frames_count(self) -> int:
         return len(self.cam_cfw_R)
@@ -273,10 +296,12 @@ class MultiViewFactorizer:
         # triangulate tracks seen in this frame that aren't reconstructed yet
         self._reconstruct_new_tracks(new_frame)
 
-        # BA trigger
-        err = self._reproj_error()
-        if err > self.ba_trigger_reproj_err:
-            self._run_ba()
+        # BA trigger (skip the device fetch entirely when the trigger is
+        # disabled — one fewer host<->device round-trip per frame)
+        if self.ba_trigger_reproj_err != float("inf"):
+            err = self._reproj_error()
+            if err > self.ba_trigger_reproj_err:
+                self._run_ba()
         return True
 
     # ---- triangulation (MASKS 8.44), batched over candidate tracks ----
@@ -317,45 +342,35 @@ class MultiViewFactorizer:
                 "fij,j->fi", R_fb[i, :k], tb)
             msk[i, :k] = True
             bases.append(base)
-        depth = np.asarray(_batched_depth(
-            jnp.asarray(x_base), jnp.asarray(xs), jnp.asarray(R_fb),
-            jnp.asarray(T_fb), jnp.asarray(msk)))
-        x_lin = np.zeros((Nb, 3))
-        keep = np.zeros(Nb, bool)
+        # GN-polish batch (world-frame poses, ALL observations incl. base) —
+        # built unconditionally so the whole triangulation is ONE dispatch
+        obs_w = np.zeros((Nb, Mb + 1, 3))
+        R_w = np.broadcast_to(np.eye(3), (Nb, Mb + 1, 3, 3)).copy()
+        t_w = np.zeros((Nb, Mb + 1, 3))
+        msk_w = np.zeros((Nb, Mb + 1), bool)
+        Rb_all = np.broadcast_to(np.eye(3), (Nb, 3, 3)).copy()
+        tb_all = np.zeros((Nb, 3))
         for i, (tid, sel) in enumerate(cands):
-            d = float(depth[i])
-            if not np.isfinite(d) or d <= 0:
-                continue
-            base = bases[i]
-            x_cam = ts.coords[tid, sel[0]] * d
-            x_lin[i] = R_all[base].T @ (x_cam - t_all[base])
-            keep[i] = True
-        if self.refine_mapping:
-            # GN polish against ALL observations (incl. base): debias the
-            # linear depth — see rm.refine_point_gn. Reuse the batch layout
-            # with world-frame poses and the base observation appended.
-            obs_w = np.zeros((Nb, Mb + 1, 3))
-            R_w = np.broadcast_to(np.eye(3), (Nb, Mb + 1, 3, 3)).copy()
-            t_w = np.zeros((Nb, Mb + 1, 3))
-            msk_w = np.zeros((Nb, Mb + 1), bool)
-            for i, (tid, sel) in enumerate(cands):
-                if not keep[i]:
-                    continue
-                fr = ts.frames_of(tid)[sel]
-                k = len(fr)
-                obs_w[i, :k] = ts.coords[tid, sel]
-                R_w[i, :k] = R_all[fr]
-                t_w[i, :k] = t_all[fr]
-                msk_w[i, :k] = True
-            x_ref = np.asarray(_batched_refine_point(
-                jnp.asarray(x_lin), jnp.asarray(obs_w), jnp.asarray(R_w),
-                jnp.asarray(t_w), jnp.asarray(msk_w)))
-            good = np.isfinite(x_ref).all(axis=1)
-            x_lin = np.where(good[:, None], x_ref, x_lin)
+            fr = ts.frames_of(tid)[sel]
+            k = len(fr)
+            obs_w[i, :k] = ts.coords[tid, sel]
+            R_w[i, :k] = R_all[fr]
+            t_w[i, :k] = t_all[fr]
+            msk_w[i, :k] = True
+            Rb_all[i] = R_all[bases[i]]
+            tb_all[i] = t_all[bases[i]]
+        x_out, depth = _triangulate_refine_jit(
+            jnp.asarray(x_base), jnp.asarray(xs), jnp.asarray(R_fb),
+            jnp.asarray(T_fb), jnp.asarray(msk), jnp.asarray(obs_w),
+            jnp.asarray(R_w), jnp.asarray(t_w), jnp.asarray(msk_w),
+            jnp.asarray(Rb_all), jnp.asarray(tb_all),
+            refine=self.refine_mapping)
+        x_out = np.asarray(x_out)
+        depth = np.asarray(depth)
         out = {}
         for i, (tid, sel) in enumerate(cands):
-            if keep[i]:
-                out[tid] = x_lin[i]
+            if depth[i] > 0 and np.isfinite(x_out[i]).all():
+                out[tid] = x_out[i]
         return out
 
     def _triangulate_track(self, tid: int, upto_frame: int
@@ -379,14 +394,19 @@ class MultiViewFactorizer:
 
     # ---- BA problem emission -------------------------------------------
     def _sparse_problem(self, pad_points: int = 1,
-                        track_len: Optional[int] = None
+                        track_len: Optional[int] = None,
+                        pad_frames: int = 0
                         ) -> tuple[list, BAProblemSparse]:
         """Emit BAProblemSparse straight from the track store — no dense
         [Np, F] grid anywhere. `pad_points` rounds Np up (masked rows) so
-        jit signatures stay stable / shards stay even."""
+        jit signatures stay stable / shards stay even; `pad_frames` rounds
+        the frame count up with identity cameras (the caller must PIN the
+        pad frames: they carry no observations, so their normal-equation
+        blocks are singular without the pin's unit diagonal)."""
         tids = sorted(self.point_coords)
         ts = self.track_store
         n_f = self.frames_count()
+        n_fp = n_f if not pad_frames else -(-n_f // pad_frames) * pad_frames
         obs, fidx, mask = ts.sparse_observations(tids, n_f, track_len)
         Np = len(tids)
         pad = (-Np) % pad_points
@@ -399,10 +419,16 @@ class MultiViewFactorizer:
         pts = np.stack([self.point_coords[t] for t in tids])
         if pad:
             pts = np.concatenate([pts, np.zeros((pad, 3))])
-        K = np.broadcast_to(np.asarray(self.K, float), (n_f, 3, 3))
+        cfw_R = np.stack(self.cam_cfw_R)
+        cfw_t = np.stack(self.cam_cfw_t)
+        if n_fp > n_f:
+            cfw_R = np.concatenate(
+                [cfw_R, np.broadcast_to(np.eye(3), (n_fp - n_f, 3, 3))])
+            cfw_t = np.concatenate([cfw_t, np.zeros((n_fp - n_f, 3))])
+        K = np.broadcast_to(np.asarray(self.K, float), (n_fp, 3, 3))
         p = BAProblemSparse(
-            points=jnp.asarray(pts), cfw_R=jnp.asarray(np.stack(self.cam_cfw_R)),
-            cfw_t=jnp.asarray(np.stack(self.cam_cfw_t)), K=jnp.asarray(K),
+            points=jnp.asarray(pts), cfw_R=jnp.asarray(cfw_R),
+            cfw_t=jnp.asarray(cfw_t), K=jnp.asarray(K),
             obs=jnp.asarray(obs), frame_idx=jnp.asarray(fidx),
             obs_mask=jnp.asarray(mask), f0=jnp.asarray(1.0, pts.dtype))
         return tids, p
@@ -606,12 +632,20 @@ class MultiViewFactorizer:
         self.last_ba_sparse = self._use_sparse()
         if self.last_ba_sparse:
             n_dev = self.ba_mesh.devices.size if self.ba_mesh is not None else 1
+            n_f = self.frames_count()
             tids, p = self._sparse_problem(
-                pad_points=max(8 * n_dev, 8))
-            ba = SparseBundleAdjustment(
-                optimize_intrinsics=False, pin_frames=pin_frames,
-                mesh=self.ba_mesh, point_chunk=self.ba_point_chunk,
-                unity_comp_ind=uci)
+                pad_points=max(8 * n_dev, 8) if not self.ba_point_bucket
+                else self.ba_point_bucket,
+                pad_frames=self.ba_frame_bucket)
+            pins = tuple(pin_frames) + tuple(range(n_f, p.n_frames))
+            key = (p.n_points, p.n_frames, pins, uci)
+            ba = self._ba_cache.get(key)
+            if ba is None:
+                ba = SparseBundleAdjustment(
+                    optimize_intrinsics=False, pin_frames=pins,
+                    mesh=self.ba_mesh, point_chunk=self.ba_point_chunk,
+                    unity_comp_ind=uci)
+                self._ba_cache[key] = ba
             ok, p_opt = ba.compute_inplace(p, term)
         else:
             tids, p = self._dense_problem()

@@ -198,7 +198,7 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
         return dX, du
 
     if band_plan is not None:
-        ext_all = jnp.asarray(band_plan.ext_idx)          # [n_dev, Npad]
+        ext_default = jnp.asarray(band_plan.ext_idx)      # [n_dev, Npad]
         smapped_b = shard_map(
             kernel_banded,
             mesh=mesh,
@@ -209,11 +209,14 @@ def make_sharded_sparse_schur_solver(n_points: int, n_frames: int,
         )
 
         @jax.jit
-        def solve(p_sparse, blocks, hessian_factor):
+        def solve(p_sparse, blocks, hessian_factor, ext_idx=None):
+            # ext_idx as a traced argument: re-planning a grown problem
+            # with unchanged band geometry reuses this compiled program
+            ext = ext_default if ext_idx is None else ext_idx
             hf = jnp.asarray(hessian_factor, blocks.E.dtype)
             dX, du = smapped_b(blocks.E, blocks.Fpf, blocks.gp,
                                p_sparse.frame_idx, p_sparse.obs_mask,
-                               ext_all, blocks.G, blocks.gf, hf)
+                               ext, blocks.G, blocks.gf, hf)
             ok = jnp.all(jnp.isfinite(du)) & jnp.all(jnp.isfinite(dX))
             return dX, du, ok
 
