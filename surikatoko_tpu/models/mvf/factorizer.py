@@ -261,6 +261,12 @@ class MultiViewFactorizer:
         Ra, ta = self.cam_cfw_R[anchor], self.cam_cfw_t[anchor]
         pts = np.stack([self.point_coords[int(t)] for t in common])
         depths = (pts @ Ra.T + ta)[:, 2]
+        # a drifted point can sit behind the anchor camera: 1/depth feeds
+        # the SVD-12 system, and inf * mask-zero = NaN would sink the whole
+        # SVD — sanitize the value AND mask the row (masked-slot NaN rule)
+        good_d = np.isfinite(depths) & (depths > 1e-6)
+        if not good_d.any():
+            return False
 
         n = len(common)
         nb = _bucket(n)
@@ -272,9 +278,9 @@ class MultiViewFactorizer:
         for i, t in enumerate(common):
             c1[i] = ts.coord(int(t), anchor)
             c2[i] = ts.coord(int(t), new_frame)
-        dep[:n] = depths
+        dep[:n] = np.where(good_d, depths, 1.0)
         ptsb[:n] = pts
-        msk[:n] = True
+        msk[:n] = good_d
 
         R_new, t_new, ok = _localize_jit(
             jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(dep),
@@ -599,9 +605,16 @@ class MultiViewFactorizer:
         if not ok:
             return False
         pts_o = np.asarray(p_opt.points)
+        # only read back points constrained by >=2 in-window observations:
+        # a point with a single in-window residual is underdetermined along
+        # its viewing ray — the solver moves it freely, and reading that
+        # back corrupts the global map (found at the 10k x 500 f32 run:
+        # localization decayed between global BA runs until it failed)
+        n_inwin = inwin[:Np].sum(axis=1)
         for i, t in enumerate(tids):
-            self.point_coords[t] = pts_o[i]
-        self._ba_points.update(int(t) for t in tids)
+            if n_inwin[i] >= 2:
+                self.point_coords[t] = pts_o[i]
+                self._ba_points.add(int(t))
         R_o, t_o = np.asarray(p_opt.cfw_R), np.asarray(p_opt.cfw_t)
         for k in range(2, window):         # pinned 0,1 unchanged by solve
             self.cam_cfw_R[base + k] = R_o[k]
