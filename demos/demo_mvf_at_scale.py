@@ -4,17 +4,22 @@ driven through MultiViewIterativeFactorizer's per-frame pipeline (reference
 multi-view-factorization.cpp:255-397) with the banded distributed-capable
 sparse Schur BA (models/ba/sparse.py) instead of a dense observation grid.
 
-The synthetic world is a ring of landmarks orbited by the camera so tracks
-are frame-local (the banding-friendly structure real turntable/corridor
-sequences have); each point is visible from a contiguous arc of L cameras.
+The synthetic world is a ring of landmarks orbited once by the camera,
+tracks frame-local (the banding-friendly structure real turntable/corridor
+sequences have) and NON-wrapping — the chain stays open and visual-odometry
+drift accumulates, exactly like a real monocular run. A short REVISIT
+segment then re-enters the start region, re-detecting the head landmarks as
+new tracks; a place-recognition oracle pairs them with the originals and
+the accumulated Sim(3) loop error closes through the pose graph
+(MultiViewFactorizer.close_loop_sim3) before the final global BA.
 
 Per frame: matcher writes corners -> anchor selection -> SVD-12 relative
-motion + GN-PnP polish -> batched MASKS-8.44 triangulation of new tracks ->
-reprojection check. BA runs every --ba_every frames (and once at the end)
-through SparseBundleAdjustment, banded when plan_bands engages.
+motion + GN-PnP polish -> batched MASKS-8.44 triangulation of new tracks.
+Sliding-window local BA runs every --window_ba_every frames; bucket-padded
+global BA every --global_ba_every frames.
 
 Usage: python demos/demo_mvf_at_scale.py [--points 10000] [--frames 500]
-    [--track_len 12] [--ba_every 100] [--f32]
+    [--track_len 12] [--f32]
 """
 
 from __future__ import annotations
@@ -44,6 +49,8 @@ def main() -> int:
     ap.add_argument("--final_polish_iters", type=int, default=40,
                     help="LM budget of the final convergence polish "
                          "(reported ATE comes from this state)")
+    ap.add_argument("--revisit_frames", type=int, default=12,
+                    help="frames of the loop-closure revisit segment")
     ap.add_argument("--ba_iters", type=int, default=5,
                     help="LM iterations of the timed final global BA")
     ap.add_argument("--f32", action="store_true")
@@ -74,8 +81,11 @@ def main() -> int:
     pts_gt = np.stack([rad * np.cos(ang), rad * np.sin(ang), z], axis=1)
     K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
     K_inv = np.linalg.inv(K)
+    n_base = n_frames
+    n_total = n_base + args.revisit_frames
     Rs, ts_gt = [], []
-    for a in np.linspace(0, 2 * np.pi, n_frames, endpoint=False):
+    for k in range(n_total):
+        a = 2 * np.pi * (k % n_base) / n_base   # revisit repeats the start
         eye = np.array([8.0 * np.cos(a), 8.0 * np.sin(a), 1.5])
         wfc = se3_mod.look_at_luf_wfc(
             jnp.asarray(eye), jnp.asarray([0.0, 0, 1.5]),
@@ -84,25 +94,34 @@ def main() -> int:
         Rs.append(np.asarray(cfw.R))
         ts_gt.append(np.asarray(cfw.t))
     Rs, ts_gt = np.stack(Rs), np.stack(ts_gt)
-    # visibility: point i is seen in frames facing[i] .. facing[i]+L-1
-    facing = (ang / (2 * np.pi) * n_frames).astype(int)
-    # per-frame visible point lists (host-side "detector")
-    frame_pts = [[] for _ in range(n_frames)]
+    # base orbit: point i seen in frames facing[i]..facing[i]+L-1, NO wrap
+    # (the chain stays open; drift accumulates like a real monocular run);
+    # the revisit re-detects head landmarks as NEW track ids
+    facing = (ang / (2 * np.pi) * n_base).astype(int)
+    frame_pts = [[] for _ in range(n_total)]
     for i in range(n_pts):
         for l in range(L):
-            frame_pts[(facing[i] + l) % n_frames].append(i)
+            f = facing[i] + l
+            if f < n_base:
+                frame_pts[f].append(i)
+    for f in range(n_base, n_total):
+        fm = f % n_base
+        for i in np.nonzero((fm - facing) % n_base < L)[0]:
+            frame_pts[f].append(int(i))
 
-    ts = TrackStore(max_tracks=n_pts, max_frames=n_frames, max_track_len=L)
+    ts = TrackStore(max_tracks=2 * n_pts, max_frames=n_total,
+                    max_track_len=2 * L)
     mvf = MultiViewFactorizer(
         track_store=ts, K=K, use_sparse_ba=True,
         ba_trigger_reproj_err=float("inf"),   # BA on our own schedule
         ba_term_rel_change=None, ba_max_iters=args.global_ba_iters,
         ba_point_bucket=2048, ba_frame_bucket=100)
     obs_bytes = ts.pixels.nbytes + ts.coords.nbytes + ts.fidx.nbytes
-    dense_bytes = n_pts * n_frames * (2 * 8 + 1)
-    print(f"points={n_pts} frames={n_frames} L={L} "
-          f"store={obs_bytes/1e6:.0f}MB (dense grid would be "
-          f"{dense_bytes/1e6:.0f}MB, {100.0*L/n_frames:.2f}% occupied)")
+    dense_bytes = n_pts * n_total * (2 * 8 + 1)
+    print(f"points={n_pts} frames={n_total} (base {n_base} + revisit "
+          f"{args.revisit_frames}) L={L} store={obs_bytes/1e6:.0f}MB "
+          f"(dense grid would be {dense_bytes/1e6:.0f}MB, "
+          f"{100.0*L/n_base:.2f}% occupied)", flush=True)
 
     def write_corners(f):
         Rf, tf = Rs[f], ts_gt[f]
@@ -112,10 +131,14 @@ def main() -> int:
         ph = xc @ K.T
         pix = ph[:, :2] / ph[:, 2:3] + rng.normal(
             scale=args.noise_pix, size=(len(ids), 2))
-        for tid, p, o in zip(ids, pix, ok):
+        head = facing[ids] < n_base // 2
+        for tid, p, o, hd in zip(ids, pix, ok, head):
             if o:
-                ts.add_corner(int(tid), f, p, K_inv)
+                # revisit: head-region landmarks re-detected as new tracks
+                tid_w = int(tid) + n_pts if (f >= n_base and hd) else int(tid)
+                ts.add_corner(tid_w, f, p, K_inv)
 
+    n_frames = n_total
     t_int0 = time.time()
     ba_time = 0.0
     n_fail = 0
@@ -147,6 +170,26 @@ def main() -> int:
     t_integrate = time.time() - t_int0 - ba_time
     fps = (n_frames - 2) / t_integrate
 
+    # ---- Sim(3) loop closure from the revisit's re-detected landmarks ----
+    pos_gt_all = np.stack([-R.T @ t for R, t in zip(Rs, ts_gt)])
+
+    def _traj_ate():
+        pos = np.stack([-R.T @ t
+                        for R, t in zip(mvf.cam_cfw_R, mvf.cam_cfw_t)])
+        return float(aligned_rmse(jnp.asarray(pos), jnp.asarray(pos_gt_all)))
+
+    ate_pre_closure = _traj_ate()
+    closed = False
+    if args.revisit_frames:
+        pairs = [(n_pts + i, i) for i in range(n_pts)]
+        tb = time.time()
+        closed, n_common = mvf.close_loop_sim3(
+            tail_frames=range(n_base, n_frames), head_frames=range(6),
+            pairs=pairs, run_ba=False)
+        print(f"sim3 loop closure: ok={closed} pairs={n_common} "
+              f"traj_ate {ate_pre_closure:.3f} -> {_traj_ate():.3f} "
+              f"({time.time()-tb:.1f}s)", flush=True)
+
     # timed final BA with a fixed iteration budget (the iters/s headline)
     term = TermCriteria(allowed_reproj_err_rel_change=None,
                         max_iters=args.ba_iters)
@@ -163,7 +206,8 @@ def main() -> int:
     ok, p_opt = ba.compute_inplace(
         p._replace(points=p.points * (1.0 + 1e-9)), term)
     t_ba = time.time() - t0
-    iters_per_s = ba.iterations / max(t_ba, 1e-9)
+    n_timed = ba.iterations
+    iters_per_s = n_timed / max(t_ba, 1e-9)
 
     # convergence polish for the reported accuracy (not timed as headline)
     if args.final_polish_iters:
@@ -183,7 +227,8 @@ def main() -> int:
 
     tids_m = sorted(mvf.point_coords)
     est = np.stack([mvf.point_coords[t] for t in tids_m])
-    map_ate = float(aligned_rmse(jnp.asarray(est), jnp.asarray(pts_gt[tids_m])))
+    phys = np.asarray(tids_m) % n_pts       # revisit re-detections alias
+    map_ate = float(aligned_rmse(jnp.asarray(est), jnp.asarray(pts_gt[phys])))
     pos_est = np.stack([-R.T @ t for R, t in zip(mvf.cam_cfw_R, mvf.cam_cfw_t)])
     pos_gt = np.stack([-R.T @ t for R, t in zip(Rs, ts_gt)])
     traj_ate = float(aligned_rmse(jnp.asarray(pos_est), jnp.asarray(pos_gt)))
@@ -191,7 +236,7 @@ def main() -> int:
     print(f"integration: {n_frames - 2} frames in {t_integrate:.1f}s = "
           f"{fps:.1f} frames/s (windowed BA time {ba_time:.1f}s, "
           f"{mvf.ba_runs} runs; {n_fail} fallback frames)")
-    print(f"final BA: {ba.iterations} LM iters in {t_ba:.2f}s = "
+    print(f"final BA: {n_timed} LM iters in {t_ba:.2f}s = "
           f"{iters_per_s:.2f} iters/s (banded={plan is not None}; "
           f"compile+first {t_compile:.1f}s)")
     print(f"map={len(tids_m)} points  map_ate_rmse={map_ate:.4f}  "
@@ -203,6 +248,8 @@ def main() -> int:
         "frames_per_s_integration": round(fps, 2),
         "map_ate_rmse": round(map_ate, 5),
         "traj_ate_rmse": round(traj_ate, 5),
+        "traj_ate_pre_closure": round(ate_pre_closure, 5),
+        "loop_closed": bool(closed),
         "points": len(tids_m), "frames": n_frames}))
     return 0
 

@@ -289,6 +289,13 @@ def plan_bands(frame_idx, obs_mask, point_chunk: int, n_frames: int,
         sel = ext[c * pc:(c + 1) * pc]
         sel = sel[sel < Np]
         W = max(W, int(fmax[sel].max() - fmin[sel].min() + 1))
+    # quantize the band width: the compiled solver is cached on the band
+    # GEOMETRY (W, chunk counts), and W creeps with every point added —
+    # rounding up keeps the cache warm across incremental growth. Keep the
+    # exact W when rounding would reach full width (small problems).
+    Wq = -(-W // 32) * 32
+    if Wq < n_frames:
+        W = Wq
     if W >= n_frames:
         return None
     return BandPlan(ext_idx=ext, band_width=W, n_banded_chunks=nb,

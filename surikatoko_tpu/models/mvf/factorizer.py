@@ -621,6 +621,96 @@ class MultiViewFactorizer:
             self.cam_cfw_t[base + k] = t_o[k]
         return True
 
+    def close_loop_sim3(self, tail_frames, head_frames, *, pairs=None,
+                        min_common: int = 8, odometry_weight: float = 1.0,
+                        closure_weight: float = 10.0, iters: int = 40,
+                        run_ba: bool = False) -> tuple[bool, int]:
+        """Monocular loop closure over a Sim(3) pose graph (new capability;
+        SE(3) graphs cannot absorb the SCALE drift a monocular chain
+        accumulates — Strasdat RSS'10; the reference has no closure at all).
+
+        The closure measurement is the Umeyama similarity between two
+        estimates of the same physical points: their TAIL-side map
+        positions (drifted) vs their HEAD-side positions (early scale).
+        ``pairs`` = [(tail_tid, head_tid)] supplies the correspondence —
+        re-detected tracks at a revisit matched to the original tracks by
+        a place-recognition oracle (the same GT-assisted stand-in the
+        pose-graph tests use; a real system would plug a loop detector in
+        here). Without ``pairs``, seam tracks observed in both frame sets
+        are used, with the head-side positions re-triangulated from the
+        head frames only.
+
+        The similarity becomes Sim(3) closure edges; odometry edges come
+        from the current consecutive poses (rel scale 1). After optimizing,
+        the whole map is re-triangulated under the corrected poses and
+        (optionally) a global BA with the seam frames pinned re-polishes.
+        Returns (ok, n_common)."""
+        from surikatoko_tpu.geom.align import umeyama_similarity
+        from surikatoko_tpu.models.posegraph import (
+            make_sim3_graph, optimize_sim3_graph, sim3_compose, sim3_inverse)
+
+        ts = self.track_store
+        if pairs is not None:
+            good = [(int(a), int(b)) for a, b in pairs
+                    if int(a) in self.point_coords
+                    and int(b) in self.point_coords]
+            if len(good) < min_common:
+                return False, len(good)
+            A = np.stack([self.point_coords[a] for a, _ in good])  # drifted
+            B = np.stack([self.point_coords[b] for _, b in good])  # early
+            n_meas = len(good)
+        else:
+            head_set = set()
+            for f in head_frames:
+                head_set.update(int(t) for t in ts.tracks_in_frame(int(f)))
+            common = sorted({int(t) for f in tail_frames
+                             for t in ts.tracks_in_frame(int(f))
+                             if int(t) in head_set
+                             and int(t) in self.point_coords})
+            if len(common) < min_common:
+                return False, len(common)
+            h = max(int(f) for f in head_frames)
+            tri = self._triangulate_tracks(common, h)  # head-side positions
+            common = [t for t in common if t in tri]
+            if len(common) < min_common:
+                return False, len(common)
+            A = np.stack([self.point_coords[t] for t in common])   # drifted
+            B = np.stack([tri[t] for t in common])                 # early
+            n_meas = len(common)
+        s_u, R_u, t_u = umeyama_similarity(jnp.asarray(A), jnp.asarray(B))
+        U = (float(s_u), np.asarray(R_u), np.asarray(t_u))
+
+        n = self.frames_count()
+        R_w = np.stack([R.T for R in self.cam_cfw_R])
+        t_w = np.stack([-R.T @ t
+                        for R, t in zip(self.cam_cfw_R, self.cam_cfw_t)])
+        edges = []
+        for k in range(n - 1):
+            rel_R = R_w[k].T @ R_w[k + 1]
+            rel_t = R_w[k].T @ (t_w[k + 1] - t_w[k])
+            edges.append((k, k + 1, rel_R, rel_t, 1.0, odometry_weight))
+        for i in tail_frames:
+            Ci = sim3_compose(U, (1.0, R_w[int(i)], t_w[int(i)]))
+            for j in head_frames:
+                Z = sim3_compose(sim3_inverse(Ci),
+                                 (1.0, R_w[int(j)], t_w[int(j)]))
+                edges.append((int(i), int(j), Z[1], Z[2], Z[0],
+                              closure_weight))
+        g = make_sim3_graph(R_w, t_w, edges)
+        g = optimize_sim3_graph(g, iters=iters)
+        R_w = np.asarray(g.R)
+        t_w = np.asarray(g.t)
+        for f in range(n):
+            self.cam_cfw_R[f] = R_w[f].T
+            self.cam_cfw_t[f] = -R_w[f].T @ t_w[f]
+        tri_all = self._triangulate_tracks(list(self.point_coords), n - 1)
+        self.point_coords.update(tri_all)
+        if run_ba:
+            pins = tuple(sorted({int(i) for i in tail_frames}
+                                | {int(j) for j in head_frames}))
+            self._run_ba(pin_frames=pins)
+        return True, n_meas
+
     def _use_sparse(self) -> bool:
         if self.use_sparse_ba is not None:
             return bool(self.use_sparse_ba)

@@ -119,6 +119,141 @@ def _apply_step(g: PoseGraph, d: jnp.ndarray) -> PoseGraph:
     return g._replace(R=R_new, t=g.t + dt)
 
 
+class Sim3Graph(NamedTuple):
+    """Sim(3) pose graph: nodes are world-from-keyframe SIMILARITIES
+    (R, t, s) — the standard mechanism for monocular loop closure, where
+    pure SE(3) graphs cannot absorb accumulated SCALE drift (Strasdat et
+    al., "Scale Drift-Aware Large Scale Monocular SLAM", RSS 2010). The
+    reference has no loop-closure machinery at all."""
+
+    R: jnp.ndarray          # [N,3,3]
+    t: jnp.ndarray          # [N,3]
+    s: jnp.ndarray          # [N] per-keyframe scale
+    edge_i: jnp.ndarray     # [E]
+    edge_j: jnp.ndarray     # [E]
+    rel_R: jnp.ndarray      # [E,3,3] measured R of S_i^-1 S_j
+    rel_t: jnp.ndarray      # [E,3]
+    rel_s: jnp.ndarray      # [E] measured scale of S_i^-1 S_j
+    weight: jnp.ndarray     # [E]
+    mask: jnp.ndarray       # [E]
+
+
+def sim3_compose(a, b):
+    """(s,R,t) tuples: a ∘ b (apply b then a)."""
+    sa, Ra, ta = a
+    sb, Rb, tb = b
+    return (sa * sb, Ra @ Rb, sa * (Ra @ tb) + ta)
+
+
+def sim3_inverse(a):
+    s, R, t = a
+    return (1.0 / s, R.T, -(R.T @ t) / s)
+
+
+def make_sim3_graph(R, t, edges, s=None) -> Sim3Graph:
+    """edges: list of (i, j, rel_R, rel_t, rel_s, weight). Odometry edges
+    use rel_s = 1 (no scale change measured along the chain)."""
+    import numpy as np
+
+    E = len(edges)
+    dtype = jnp.asarray(R).dtype
+    N = np.asarray(R).shape[0]
+    ei = np.asarray([e[0] for e in edges], np.int32)
+    ej = np.asarray([e[1] for e in edges], np.int32)
+    rR = np.stack([np.asarray(e[2]) for e in edges])
+    rt = np.stack([np.asarray(e[3]) for e in edges])
+    rs = np.asarray([float(e[4]) for e in edges])
+    w = np.asarray([e[5] if len(e) > 5 else 1.0 for e in edges])
+    s0 = np.ones(N) if s is None else np.asarray(s)
+    return Sim3Graph(
+        R=jnp.asarray(R), t=jnp.asarray(t), s=jnp.asarray(s0, dtype),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        rel_R=jnp.asarray(rR, dtype), rel_t=jnp.asarray(rt, dtype),
+        rel_s=jnp.asarray(rs, dtype), weight=jnp.asarray(w, dtype),
+        mask=jnp.ones((E,), bool))
+
+
+def sim3_edge_residuals(g: Sim3Graph, dw, dt, dls) -> jnp.ndarray:
+    """[E,7] residuals of S_i^-1 S_j vs the measurement at local increments
+    (dw,dt [N,3], dls [N]): rotation log, frame-i translation difference,
+    log-scale difference."""
+    R = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, g.R)
+    t = g.t + dt
+    s = g.s * jnp.exp(dls)
+    Ri, Rj = R[g.edge_i], R[g.edge_j]
+    ti, tj = t[g.edge_i], t[g.edge_j]
+    si, sj = s[g.edge_i], s[g.edge_j]
+    R_ij = jnp.einsum("eab,eac->ebc", Ri, Rj)
+    t_ij = jnp.einsum("eab,ea->eb", Ri, tj - ti) / si[:, None]
+    r_rot = so3.log(jnp.einsum("eab,eac->ebc", g.rel_R, R_ij))
+    r_trn = t_ij - g.rel_t
+    r_scl = (jnp.log(sj) - jnp.log(si) - jnp.log(g.rel_s))[:, None]
+    r = jnp.concatenate([r_rot, r_trn, r_scl], axis=-1)
+    wgt = (g.weight * g.mask.astype(r.dtype))[:, None]
+    return r * wgt
+
+
+def sim3_graph_error(g: Sim3Graph) -> jnp.ndarray:
+    z = jnp.zeros_like(g.t)
+    r = sim3_edge_residuals(g, z, z, jnp.zeros_like(g.s))
+    return jnp.sum(r * r)
+
+
+def optimize_sim3_graph(g: Sim3Graph, iters: int = 30,
+                        damping: float = 1e-6,
+                        max_damping: float = 1e8) -> Sim3Graph:
+    """LM over (R, t, log s) of all nodes; node 0 pinned (full Sim(3)
+    gauge: orientation, position, AND global scale)."""
+    N = g.R.shape[0]
+    dtype = g.t.dtype
+
+    def _lin(gc):
+        z3 = jnp.zeros((N, 3), dtype)
+        z1 = jnp.zeros((N,), dtype)
+
+        def res_flat(dw, dt, dls):
+            return sim3_edge_residuals(gc, dw, dt, dls).reshape(-1)
+
+        r = res_flat(z3, z3, z1)
+        Jw, Jt, Js = jax.jacfwd(res_flat, argnums=(0, 1, 2))(z3, z3, z1)
+        J = jnp.concatenate([Jw.reshape(r.shape[0], -1),
+                             Jt.reshape(r.shape[0], -1),
+                             Js.reshape(r.shape[0], -1)], axis=1)  # [m,7N]
+        free = jnp.ones((7 * N,), dtype)
+        free = (free.at[0:3].set(0.0)
+                .at[3 * N:3 * N + 3].set(0.0)
+                .at[6 * N].set(0.0))
+        return r, J * free[None, :]
+
+    def _step(gc, lam):
+        r, J = _lin(gc)
+        H = J.T @ J + (lam + 1e-12) * jnp.eye(7 * N, dtype=dtype)
+        pin = jnp.zeros((7 * N,), dtype)
+        pin = pin.at[0:3].set(1.0).at[3 * N:3 * N + 3].set(1.0).at[6 * N].set(1.0)
+        H = H + jnp.diag(pin)
+        d = -jnp.linalg.solve(H, J.T @ r)
+        dw = d[:3 * N].reshape(N, 3)
+        dt = d[3 * N:6 * N].reshape(N, 3)
+        dls = d[6 * N:]
+        R_new = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, gc.R)
+        return gc._replace(R=R_new, t=gc.t + dt, s=gc.s * jnp.exp(dls))
+
+    lm_step = jax.jit(_step)
+    lam = damping
+    err = float(sim3_graph_error(g))
+    for _ in range(iters):
+        g_try = lm_step(g, jnp.asarray(lam, dtype))
+        err_try = float(sim3_graph_error(g_try))
+        if err_try < err:
+            g, err = g_try, err_try
+            lam = max(lam / 10.0, damping)
+        else:
+            lam *= 10.0
+            if lam > max_damping:
+                break
+    return g
+
+
 def optimize_pose_graph(g: PoseGraph, iters: int = 20,
                         damping: float = 1e-6,
                         max_damping: float = 1e8,

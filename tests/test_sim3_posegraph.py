@@ -1,0 +1,214 @@
+"""Sim(3) pose graph: scale-drift loop closure (monocular SLAM's mechanism;
+SE(3) graphs cannot absorb accumulated scale error)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from surikatoko_tpu.models.posegraph import (
+    Sim3Graph, make_sim3_graph, optimize_sim3_graph, sim3_graph_error,
+    sim3_compose, sim3_inverse)
+
+
+def _ring_poses(n, radius=5.0):
+    Rs, ts = [], []
+    for a in np.linspace(0, 2 * np.pi, n, endpoint=False):
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])   # wfc
+        t = np.array([radius * c, radius * s, 0.0])
+        Rs.append(R)
+        ts.append(t)
+    return np.stack(Rs), np.stack(ts)
+
+
+def test_sim3_compose_inverse_roundtrip(rng):
+    from surikatoko_tpu.geom import so3
+    a = (1.7, np.asarray(so3.exp(jnp.asarray(rng.normal(size=3) * 0.3))),
+         rng.normal(size=3))
+    x = rng.normal(size=3)
+    y = a[0] * a[1] @ x + a[2]
+    inv = sim3_inverse(a)
+    np.testing.assert_allclose(inv[0] * inv[1] @ y + inv[2], x, atol=1e-12)
+    ident = sim3_compose(a, inv)
+    np.testing.assert_allclose(ident[0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(ident[1], np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(ident[2], 0.0, atol=1e-12)
+
+
+def test_sim3_graph_recovers_scale_drifted_ring():
+    """Initial estimates carry compounding SCALE drift (each step 2% too
+    long); edges hold the TRUE relative sim3 (odometry rel_s=1 + closure).
+    The optimizer must drive the residual ~0 and recover the GT ring —
+    including the per-node scale estimates returning to ~1."""
+    n = 24
+    R_gt, t_gt = _ring_poses(n)
+
+    # drifted initial guess: re-integrate odometry with translation scaled
+    # by 1.02^k (classic monocular scale drift)
+    R0 = [R_gt[0]]
+    t0 = [t_gt[0]]
+    for k in range(n - 1):
+        rel_R = R_gt[k].T @ R_gt[k + 1]
+        rel_t = R_gt[k].T @ (t_gt[k + 1] - t_gt[k]) * (1.02 ** (k + 1))
+        R0.append(R0[-1] @ rel_R)
+        t0.append(t0[-1] + R0[-2] @ rel_t)
+    R0, t0 = np.stack(R0), np.stack(t0)
+    drift0 = np.linalg.norm(t0 - t_gt, axis=1).max()
+    assert drift0 > 0.5, drift0
+
+    edges = []
+    for k in range(n - 1):
+        edges.append((k, k + 1, R_gt[k].T @ R_gt[k + 1],
+                      R_gt[k].T @ (t_gt[k + 1] - t_gt[k]), 1.0, 1.0))
+    for j in (0, 1):
+        i = n - 1
+        Zi = (1.0, R_gt[i], t_gt[i])
+        Z = sim3_compose(sim3_inverse(Zi), (1.0, R_gt[j], t_gt[j]))
+        edges.append((i, j, Z[1], Z[2], Z[0], 5.0))
+
+    g = make_sim3_graph(R0, t0, edges)
+    e0 = float(sim3_graph_error(g))
+    g = optimize_sim3_graph(g, iters=50)
+    e1 = float(sim3_graph_error(g))
+    assert e1 < 1e-10 * max(e0, 1.0), (e0, e1)
+    np.testing.assert_allclose(np.asarray(g.t), t_gt, atol=1e-5)
+    for k in range(n):
+        np.testing.assert_allclose(np.asarray(g.R[k]), R_gt[k], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.s), 1.0, atol=1e-6)
+
+
+def test_se3_graph_cannot_fix_scale_drift():
+    """Control: the SE(3) graph on the same problem leaves large residual
+    error — the scale inconsistency has nowhere to go."""
+    from surikatoko_tpu.models.posegraph import (
+        make_pose_graph, optimize_pose_graph, graph_error)
+
+    n = 24
+    R_gt, t_gt = _ring_poses(n)
+    R0 = [R_gt[0]]
+    t0 = [t_gt[0]]
+    for k in range(n - 1):
+        rel_R = R_gt[k].T @ R_gt[k + 1]
+        rel_t = R_gt[k].T @ (t_gt[k + 1] - t_gt[k]) * (1.02 ** (k + 1))
+        R0.append(R0[-1] @ rel_R)
+        t0.append(t0[-1] + R0[-2] @ rel_t)
+    edges = []
+    for k in range(n - 1):
+        # odometry as MEASURED by the drifted chain (scale-corrupted)
+        rel_t = R_gt[k].T @ (t_gt[k + 1] - t_gt[k]) * (1.02 ** (k + 1))
+        edges.append((k, k + 1, R_gt[k].T @ R_gt[k + 1], rel_t, 1.0))
+    i = n - 1
+    edges.append((i, 0, R_gt[i].T @ R_gt[0],
+                  R_gt[i].T @ (t_gt[0] - t_gt[i]), 5.0))
+    g = make_pose_graph(np.stack(R0), np.stack(t0), edges)
+    g = optimize_pose_graph(g, iters=50)
+
+    # the Sim(3) graph on the SAME scale-corrupted odometry absorbs the
+    # inconsistency into the per-node scales: the recovered TRAJECTORY
+    # lands on the GT ring, while the SE(3) optimum stays bent (the
+    # residual spreads, but translations cannot shrink per-edge)
+    from surikatoko_tpu.geom.align import aligned_rmse
+    edges_s = [(e[0], e[1], e[2], e[3], 1.0, e[4]) for e in edges]
+    gs = make_sim3_graph(np.stack(R0), np.stack(t0), edges_s)
+    gs = optimize_sim3_graph(gs, iters=60)
+    # with the closure's scale UNmeasured (rel_s=1 — the worst case), the
+    # graphs distribute the inconsistency; Sim(3) still lands closer to the
+    # GT ring because per-node scales absorb part of it, and its scale
+    # estimates move off 1 in the drift direction
+    ate_se3 = float(aligned_rmse(g.t, jnp.asarray(t_gt)))
+    ate_sim3 = float(aligned_rmse(gs.t, jnp.asarray(t_gt)))
+    assert ate_sim3 < 0.8 * ate_se3, (ate_se3, ate_sim3)
+    s = np.asarray(gs.s)
+    assert s.min() < 0.97 or s.max() > 1.03, s
+
+
+@pytest.mark.slow
+def test_mvf_sim3_loop_closure_fixes_ring_drift():
+    """A REAL revisit scenario: one open-chain orbit (track windows do NOT
+    wrap, so drift accumulates unanchored), then the camera re-enters the
+    start region and re-detects the head landmarks as NEW tracks. A
+    place-recognition oracle supplies (new_track, old_track) pairs — the
+    Umeyama similarity between their two map estimates measures the
+    accumulated Sim(3) loop error, and close_loop_sim3 must pull the
+    trajectory back onto the GT orbit."""
+    from surikatoko_tpu.geom.align import aligned_rmse
+    from surikatoko_tpu.geom.se3 import SE3
+    from surikatoko_tpu.geom import se3 as se3_mod
+    from surikatoko_tpu.models.mvf import MultiViewFactorizer, TrackStore
+    from tests.test_mvf import K, K_INV
+
+    rng = np.random.default_rng(1)
+    n_base, n_revisit, n_pts, L = 80, 10, 800, 8
+    n_frames = n_base + n_revisit
+    ang = rng.uniform(0, 2 * np.pi, n_pts)
+    pts = np.stack([2.0 * np.cos(ang), 2.0 * np.sin(ang),
+                    rng.uniform(0, 1.0, n_pts)], axis=1)
+    Rs, ts_ = [], []
+    for k in range(n_frames):
+        a = 2 * np.pi * (k % n_base) / n_base   # revisit repeats the start
+        eye = np.array([6.0 * np.cos(a), 6.0 * np.sin(a), 0.5])
+        wfc = se3_mod.look_at_luf_wfc(
+            jnp.asarray(eye), jnp.asarray([0.0, 0, 0.5]),
+            jnp.asarray([0.0, 0, 1]))
+        cfw = wfc.inv()
+        Rs.append(np.asarray(cfw.R))
+        ts_.append(np.asarray(cfw.t))
+    facing = (ang / (2 * np.pi) * n_base).astype(int)
+
+    ts = TrackStore(max_tracks=2 * n_pts, max_frames=n_frames,
+                    max_track_len=2 * L)
+    # NO interleaved BA: pure visual odometry, real accumulated drift
+    mvf = MultiViewFactorizer(
+        track_store=ts, K=K, use_sparse_ba=True, ba_max_iters=15,
+        ba_term_rel_change=None, ba_trigger_reproj_err=float("inf"))
+
+    def write(f):
+        Rf, tf = Rs[f], ts_[f]
+        fm = f % n_base
+        for tid in range(n_pts):
+            c = int(facing[tid])
+            if f < n_base:
+                # base orbit: point c visible at frames c..c+L-1, NO wrap —
+                # the chain stays open and drift accumulates unanchored
+                vis = c <= f < c + L
+            else:
+                vis = ((fm - c) % n_base) < L
+            if not vis:
+                continue
+            xc = Rf @ pts[tid] + tf
+            if xc[2] < 0.5:
+                continue
+            ph = K @ xc
+            pix = ph[:2] / ph[2] + rng.normal(scale=0.5, size=2)
+            # revisit re-detects HEAD-region landmarks as NEW tracks;
+            # tail-region tracks continue under their old ids
+            if f >= n_base and facing[tid] < n_base // 2:
+                ts.add_corner(n_pts + tid, f, pix, K_INV)
+            else:
+                ts.add_corner(tid, f, pix, K_INV)
+
+    for f in range(n_frames):
+        write(f)
+        if f < 2:
+            mvf.add_known_frame(SE3(jnp.asarray(Rs[f]), jnp.asarray(ts_[f])))
+            for tid in ts.tracks_in_frame(f):
+                mvf.set_known_point(int(tid), pts[tid])
+        else:
+            mvf.integrate_new_frame_corners()
+
+    pos_gt = np.stack([-R.T @ t for R, t in zip(Rs, ts_)])
+
+    def traj_ate():
+        pos = np.stack([-R.T @ t
+                        for R, t in zip(mvf.cam_cfw_R, mvf.cam_cfw_t)])
+        return float(aligned_rmse(jnp.asarray(pos), jnp.asarray(pos_gt)))
+
+    ate_before = traj_ate()
+    assert ate_before > 0.1, ate_before     # there IS drift to close
+    pairs = [(n_pts + tid, tid) for tid in range(n_pts)]
+    ok, n_common = mvf.close_loop_sim3(
+        tail_frames=range(n_base, n_frames), head_frames=range(6),
+        pairs=pairs, run_ba=True)
+    assert ok, n_common
+    ate_after = traj_ate()
+    assert ate_after < 0.5 * ate_before, (ate_before, ate_after)
