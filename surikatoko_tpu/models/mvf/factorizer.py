@@ -160,16 +160,43 @@ def _triangulate_refine_jit(x_base, xs, R_fb, T_fb, msk,
                             obs_w, R_w, t_w, msk_w, Rb, tb, refine: bool):
     """Linear MASKS-8.44 depth + world lift + optional GN polish as ONE
     device program (host loops pay a full tunnel round-trip per dispatch).
-    Returns (x_world [N,3], depth [N])."""
+    Returns (x_world [N,3], depth [N], depth<=0 flagged as -1)."""
     depth = jax.vmap(rm.estimate_point_depth)(x_base, xs, R_fb, T_fb, msk)
     d_ok = jnp.isfinite(depth) & (depth > 0)
     d_safe = jnp.where(d_ok, depth, 1.0)
     x_lin = jnp.einsum("nji,nj->ni", Rb, x_base * d_safe[:, None] - tb)
+
+    def rms(X):
+        xc = jnp.einsum("nmij,nj->nmi", R_w, X) + t_w
+        z = xc[..., 2:3]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        r = (xc[..., :2] / zs - obs_w[..., :2]) * msk_w[..., None]
+        n = jnp.maximum(jnp.sum(msk_w, axis=1), 1)
+        return jnp.sqrt(jnp.sum(r * r, axis=(1, 2)) / n)
+
+    # parallax proxy: camera-center spread of the observing frames over the
+    # point's depth. Near-zero-parallax triangulations are depth-noise
+    # amplifiers; feeding them to localization drives systematic scale
+    # drift (measured ~0.09 per frame on the 500-frame orbit).
+    centers = -jnp.einsum("nmji,nmj->nmi", R_w, t_w)     # [N,M,3]
+    m3 = msk_w[..., None]
+    cmean = (jnp.sum(centers * m3, axis=1)
+             / jnp.maximum(jnp.sum(m3, axis=1), 1))
+    spread = jnp.sqrt(jnp.max(
+        jnp.sum((centers - cmean[:, None, :]) ** 2, -1) * msk_w, axis=1))
+    parallax_ratio = 2.0 * spread / jnp.maximum(d_safe, 1e-9)
+
     if refine:
         x_ref = jax.vmap(rm.refine_point_gn)(x_lin, obs_w, R_w, t_w, msk_w)
-        good = jnp.all(jnp.isfinite(x_ref), axis=1)
+        # accept the polish only when it actually reduces the reprojection
+        # rms AND keeps the point in front of the base camera: a GN step on
+        # a near-parallel ray pair can shoot the point to ~infinity (seen
+        # at the 500-frame orbit: depths ~1e10 poisoned the map)
+        z_ref = (jnp.einsum("nij,nj->ni", Rb, x_ref) + tb)[:, 2]
+        good = (jnp.all(jnp.isfinite(x_ref), axis=1)
+                & (rms(x_ref) <= rms(x_lin)) & (z_ref > 1e-6))
         x_lin = jnp.where(good[:, None], x_ref, x_lin)
-    return x_lin, jnp.where(d_ok, depth, -1.0)
+    return x_lin, jnp.where(d_ok, depth, -1.0), parallax_ratio
 
 
 @jax.jit
@@ -189,6 +216,11 @@ class MultiViewFactorizer:
     ba_max_iters: int = 300
     refine_localization: bool = True   # GN-PnP polish of the SVD-12 estimate
     refine_mapping: bool = True        # GN point polish of the linear depth
+    # reconstruct a track only once its observing-camera spread exceeds this
+    # fraction of the depth (~2% = 1.1 deg parallax): near-parallel-ray
+    # triangulations amplify pixel noise into depth and, fed to the
+    # localizer, drive systematic scale drift
+    min_parallax_ratio: float = 0.02
     fake_localization: bool = False
     fake_mapping: bool = False
     gt_cfw_fun: Optional[Callable[[int], SE3]] = None
@@ -365,7 +397,7 @@ class MultiViewFactorizer:
             msk_w[i, :k] = True
             Rb_all[i] = R_all[bases[i]]
             tb_all[i] = t_all[bases[i]]
-        x_out, depth = _triangulate_refine_jit(
+        x_out, depth, par = _triangulate_refine_jit(
             jnp.asarray(x_base), jnp.asarray(xs), jnp.asarray(R_fb),
             jnp.asarray(T_fb), jnp.asarray(msk), jnp.asarray(obs_w),
             jnp.asarray(R_w), jnp.asarray(t_w), jnp.asarray(msk_w),
@@ -373,9 +405,11 @@ class MultiViewFactorizer:
             refine=self.refine_mapping)
         x_out = np.asarray(x_out)
         depth = np.asarray(depth)
+        par = np.asarray(par)
         out = {}
         for i, (tid, sel) in enumerate(cands):
-            if depth[i] > 0 and np.isfinite(x_out[i]).all():
+            if (depth[i] > 0 and np.isfinite(x_out[i]).all()
+                    and par[i] >= self.min_parallax_ratio):
                 out[tid] = x_out[i]
         return out
 
