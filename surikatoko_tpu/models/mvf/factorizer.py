@@ -470,7 +470,7 @@ class MultiViewFactorizer:
             points=jnp.asarray(pts), cfw_R=jnp.asarray(cfw_R),
             cfw_t=jnp.asarray(cfw_t), K=jnp.asarray(K),
             obs=jnp.asarray(obs), frame_idx=jnp.asarray(fidx),
-            obs_mask=jnp.asarray(mask), f0=jnp.asarray(1.0, pts.dtype))
+            obs_mask=jnp.asarray(mask), f0=jnp.asarray(1.0))
         return tids, p
 
     def _dense_problem(self):
@@ -623,7 +623,7 @@ class MultiViewFactorizer:
             cfw_t=jnp.asarray(np.stack(self.cam_cfw_t[base:])),
             K=jnp.asarray(K), obs=jnp.asarray(obs),
             frame_idx=jnp.asarray(fidx_l), obs_mask=jnp.asarray(inwin),
-            f0=jnp.asarray(1.0, pts.dtype))
+            f0=jnp.asarray(1.0))
         if self._window_ba is None or self._window_ba_key != (window,):
             self._window_ba = SparseBundleAdjustment(
                 optimize_intrinsics=False, pin_frames=(0, 1),

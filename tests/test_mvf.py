@@ -88,6 +88,33 @@ def test_depth_estimation_exact():
     np.testing.assert_allclose(float(depth), x0[2], rtol=1e-12)
 
 
+def test_triangulation_parallax_gate():
+    """Near-parallel-ray tracks must be withheld from the map until their
+    observing-camera spread clears min_parallax_ratio (the depth-noise
+    amplification gate added for the at-scale orbit); wide-baseline tracks
+    reconstruct exactly."""
+    pt = np.array([0.3, -0.2, 5.0])
+
+    def build(baseline):
+        ts = TrackStore(max_tracks=4, max_frames=2)
+        mvf = MultiViewFactorizer(track_store=ts, K=K,
+                                  ba_trigger_reproj_err=float("inf"))
+        for f, tx in enumerate((0.0, baseline)):
+            R = np.eye(3)
+            t = np.array([-tx, 0.0, 0.0])   # cfw: camera at (tx, 0, 0)
+            mvf.add_known_frame(SE3(jnp.asarray(R), jnp.asarray(t)))
+            xc = R @ pt + t
+            pix = (K @ (xc / xc[2]))[:2]
+            ts.add_corner(0, f, pix, K_INV)
+        return mvf
+
+    # baseline/depth = 1e-4/5 << 0.02 -> gated out
+    assert build(1e-4)._triangulate_tracks([0], 1) == {}
+    # baseline/depth = 1.0/5 >> 0.02 -> reconstructed exactly
+    out = build(1.0)._triangulate_tracks([0], 1)
+    np.testing.assert_allclose(out[0], pt, atol=1e-9)
+
+
 def run_mvf(frames=10, noise_pix=0.0, seed=0, **kw):
     rng = np.random.default_rng(seed)
     points, gt_cfw = make_world(frames)
