@@ -104,9 +104,9 @@ def fused_update_health_predict(
         # --- stacked update pieces (update.stacked_update :977-1114) ---
         h, Hcam, Hlm = update_mod._masked_jacobians(params, x, obs_mask)
         resid = (obs - h) * obs_mask[:, None].astype(dtype)
-        H = update_mod._dense_h(Hcam, Hlm)              # [2K, D]
-        A2 = H @ P                                      # [2K, D]
-        S2 = A2 @ H.T + r_var * jnp.eye(2 * Kcap, dtype=dtype)
+        A2 = update_mod.hp_auto(Hcam, Hlm, P)           # [2K, D] = H P
+        S2 = (update_mod.aht_auto(A2, Hcam, Hlm)
+              + r_var * jnp.eye(2 * Kcap, dtype=dtype))
     else:
         h, A_un, T_un = precomputed
         resid = (obs - h) * obs_mask[:, None].astype(dtype)

@@ -59,9 +59,75 @@ def _dense_h(Hcam: jnp.ndarray, Hlm: jnp.ndarray) -> jnp.ndarray:
 
 
 def _hp(Hcam: jnp.ndarray, Hlm: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
-    """A = H P as one dense [2K,D] @ [D,D] matmul: [K,2,D]."""
+    """A = H P as [K,2,D] (dense matmul at small K, blocked at large K)."""
     K = Hcam.shape[0]
-    return (_dense_h(Hcam, Hlm) @ P).reshape(K, 2, P.shape[-1])
+    return hp_auto(Hcam, Hlm, P).reshape(K, 2, P.shape[-1])
+
+
+def _h_group(K: int) -> int:
+    """Landmark-group size for the blocked H application: the largest g with
+    6g a multiple of the 128-lane tile AND g | K (so no padding logic), or 0
+    to use the dense path. Dense stays optimal at small K (the [2K,D] matmul
+    is latency-bound there and grouping only adds dispatches)."""
+    if K < 256:
+        return 0
+    for g in (64, 128, 32):     # 6g = 384 / 768 / 192 contraction widths
+        if K % g == 0:
+            return g
+    return 0
+
+
+def hp_blocked(Hcam: jnp.ndarray, Hlm: jnp.ndarray, P: jnp.ndarray,
+               group: int) -> jnp.ndarray:
+    """A = H P [2K, D] without materializing the [2K, 6K] zero-block sea.
+
+    H's landmark half is block-diagonal ([2,6] per slot). Grouping g slots
+    gives a batched [K/g, 2g, 6g] @ [K/g, 6g, D] matmul — g=64 makes every
+    operand tile-aligned (rows 2g=128, contraction 6g=384=3x128 lanes) so
+    the MXU runs it at full efficiency with K/g = ~12x fewer FLOPs than the
+    dense product at the ~1k-landmark regime (where H@P is the single
+    largest matmul of the frame: 2K x D x D). Identical numerics up to
+    matmul reassociation."""
+    K, D = Hcam.shape[0], P.shape[-1]
+    g = group
+    G = K // g
+    blk = jnp.einsum("maij,ab->maibj", Hlm.reshape(G, g, 2, 6),
+                     jnp.eye(g, dtype=Hlm.dtype)).reshape(G, 2 * g, 6 * g)
+    P_lm = P[_N:, :].reshape(G, 6 * g, D)
+    A_lm = jnp.einsum("mrc,mcd->mrd", blk, P_lm).reshape(2 * K, D)
+    return Hcam.reshape(2 * K, _N) @ P[:_N, :] + A_lm
+
+
+def aht_blocked(A2: jnp.ndarray, Hcam: jnp.ndarray, Hlm: jnp.ndarray,
+                group: int) -> jnp.ndarray:
+    """T = A H^T [2K, 2K] with the same grouped block-diagonal structure
+    (columns of H^T = rows of H touch 13 camera + 6 own-slot entries)."""
+    K = Hcam.shape[0]
+    g = group
+    G = K // g
+    blk = jnp.einsum("maij,ab->maibj", Hlm.reshape(G, g, 2, 6),
+                     jnp.eye(g, dtype=Hlm.dtype)).reshape(G, 2 * g, 6 * g)
+    A_lm = A2[:, _N:].reshape(2 * K, G, 6 * g)
+    T_lm = jnp.einsum("nmc,mrc->nmr", A_lm, blk).reshape(2 * K, 2 * K)
+    return A2[:, :_N] @ Hcam.reshape(2 * K, _N).T + T_lm
+
+
+def hp_auto(Hcam: jnp.ndarray, Hlm: jnp.ndarray, P: jnp.ndarray
+            ) -> jnp.ndarray:
+    """A = H P [2K, D]: blocked at large K, dense otherwise."""
+    g = _h_group(Hcam.shape[0])
+    if g:
+        return hp_blocked(Hcam, Hlm, P, g)
+    return _dense_h(Hcam, Hlm) @ P
+
+
+def aht_auto(A2: jnp.ndarray, Hcam: jnp.ndarray, Hlm: jnp.ndarray
+             ) -> jnp.ndarray:
+    """T = A H^T [2K, 2K]: blocked at large K, dense otherwise."""
+    g = _h_group(Hcam.shape[0])
+    if g:
+        return aht_blocked(A2, Hcam, Hlm, g)
+    return A2 @ _dense_h(Hcam, Hlm).T
 
 
 def stacked_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
@@ -82,10 +148,9 @@ def stacked_update(params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
     h, Hcam, Hlm = _masked_jacobians(params, x, obs_mask)
     resid = (obs - h) * obs_mask[:, None].astype(x.dtype)
 
-    H = _dense_h(Hcam, Hlm)                        # [2K, D]
-    A2 = H @ P                                     # [2K, D]
+    A2 = hp_auto(Hcam, Hlm, P)                     # [2K, D] = H P
     r_var = params.measurm_noise_var.astype(x.dtype)
-    S2 = A2 @ H.T + r_var * jnp.eye(2 * Kcap, dtype=x.dtype)
+    S2 = aht_auto(A2, Hcam, Hlm) + r_var * jnp.eye(2 * Kcap, dtype=x.dtype)
     r2 = resid.reshape(2 * Kcap)
 
     C = jnp.linalg.cholesky(S2)                    # S = C C^T

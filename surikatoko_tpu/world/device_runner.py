@@ -222,9 +222,8 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
         h = jnp.where(row_ok[:, None], h, 0.0)
         Hcam = jnp.where(row_ok[:, None, None], Hcam, 0.0)
         Hlm = jnp.where(row_ok[:, None, None], Hlm, 0.0)
-        H_un = update_mod._dense_h(Hcam, Hlm)            # [2K, D]
-        A_un = H_un @ state.P                            # [2K, D]
-        T_un = A_un @ H_un.T                             # [2K, 2K]
+        A_un = update_mod.hp_auto(Hcam, Hlm, state.P)    # [2K, D] = H P
+        T_un = update_mod.aht_auto(A_un, Hcam, Hlm)      # [2K, 2K] = A H^T
         # per-slot 2x2 innovation: the diagonal 2x2 blocks of T_un + R
         T_blocks = T_un.reshape(Kcap, 2, Kcap, 2)
         S2 = (jnp.einsum("kikj->kij", T_blocks)

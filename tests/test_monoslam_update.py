@@ -65,6 +65,29 @@ def test_stacked_update_matches_naive_dense(params, state_xP, rng):
     np.testing.assert_allclose(P1, P2, atol=1e-12)
 
 
+def test_blocked_hp_aht_match_dense(rng):
+    """The grouped block-diagonal H application (hp_blocked/aht_blocked, the
+    large-K fast path that never materializes the [2K,6K] zero blocks) must
+    reproduce the dense products exactly up to reassociation, for every
+    group size the auto heuristic can pick."""
+    Kb, D = 256, 13 + 6 * 256
+    Hcam = jnp.asarray(rng.normal(size=(Kb, 2, 13)))
+    Hlm = jnp.asarray(rng.normal(size=(Kb, 2, 6)))
+    M = rng.normal(size=(D, D))
+    P = jnp.asarray(M @ M.T)
+    Hd = update._dense_h(Hcam, Hlm)
+    A_ref = Hd @ P
+    T_ref = A_ref @ Hd.T
+    assert update._h_group(Kb) > 0          # heuristic engages at this size
+    for g in (32, 64, 128):
+        A = update.hp_blocked(Hcam, Hlm, P, g)
+        np.testing.assert_allclose(A, A_ref, rtol=1e-11, atol=1e-8)
+        np.testing.assert_allclose(update.aht_blocked(A, Hcam, Hlm, g),
+                                   T_ref, rtol=1e-11, atol=1e-8)
+    # sizes the grouping can't tile fall back to dense
+    assert update._h_group(96) == 0 and update._h_group(360) == 0
+
+
 def test_masked_slots_are_untouched_in_gain(params, state_xP, rng):
     """A fully-masked update must be a no-op."""
     x, P = state_xP
