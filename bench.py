@@ -140,11 +140,15 @@ def main() -> None:
     _progress("compiling K=768 imageseq runner")
     st1, (err_b, n_b, pos_b) = run_big(st_big, templates, sc_big, fr_big)
     _ = float(jnp.sum(st1.x))                     # force completion
-    t0 = time.perf_counter()
-    st2, (err_b, n_b, pos_b) = run_big(
-        st_big._replace(x=st_big.x * (1.0 + 1e-9)), templates, sc_big, fr_big)
-    _ = float(jnp.sum(st2.x))
-    dt_big = time.perf_counter() - t0 - rtt
+    ts_big = []
+    for r in range(3):                            # median rides out transients
+        t0 = time.perf_counter()
+        st2, (err_b, n_b, pos_b) = run_big(
+            st_big._replace(x=st_big.x * (1.0 + 1e-9 * (r + 1))),
+            templates, sc_big, fr_big)
+        _ = float(jnp.sum(st2.x))
+        ts_big.append(time.perf_counter() - t0)
+    dt_big = sorted(ts_big)[1] - rtt
     fps_big = CH_BIG / dt_big
     gt_pos_b = -jnp.einsum("fji,fj->fi", sc_big.gt_cfw_R[fr_big],
                            sc_big.gt_cfw_t[fr_big])

@@ -58,10 +58,36 @@ class ImageTemplCornersMatcher:
         self.suppress_observations = False
         self.executed_match_templ_calls = 0   # search-efficiency counter
         self._image = None
+        self._prefetched = None               # (image, corners, valid) futures
+        self._detected = None                 # detection for current frame
 
     # ---- CornersMatcherBase.AnalyzeFrame ----
-    def analyze_frame(self, image_gray: np.ndarray) -> None:
-        self._image = jnp.asarray(image_gray, jnp.float32)
+    def analyze_frame(self, image_gray: np.ndarray | None = None) -> None:
+        """Make ``image_gray`` the current frame; with no argument, consume
+        the buffers queued by :meth:`prefetch_frame` (pipelined loop)."""
+        if image_gray is None:
+            assert self._prefetched is not None, "no prefetched frame"
+            self._image, *det = self._prefetched
+            self._detected = tuple(det)
+            self._prefetched = None
+        else:
+            self._image = jnp.asarray(image_gray, jnp.float32)
+            self._detected = None
+
+    def prefetch_frame(self, image_gray: np.ndarray) -> None:
+        """Upload the NEXT frame and dispatch its (state-independent) corner
+        detection without touching the current frame's buffers. Called right
+        after the filter step for the current frame is enqueued, so the
+        host->device transfer and the Shi-Tomasi pass overlap the EKF update
+        still executing on device (the match/update pipeline the reference
+        could only get from its worker/UI thread split,
+        demo-davison-mono-slam-ui.h:164 — here it falls out of XLA's async
+        dispatch; see world/runner.run_image_sequence_pipelined)."""
+        img = jnp.asarray(image_gray, jnp.float32)
+        corners, valid = features.detect_corners(
+            img, max_corners=self.detector_max_corners,
+            border=self.templ_width)
+        self._prefetched = (img, corners, valid)
 
     # ---- CornersMatcherBase.MatchSalientPoints ----
     def match_salient_points(self, state: MonoSlamState, frame_ind: int
@@ -99,9 +125,12 @@ class ImageTemplCornersMatcher:
         M = self.max_new
         if self.suppress_observations or self._image is None:
             return jnp.zeros((M, 2)), jnp.zeros(M, bool)
-        corners, valid = features.detect_corners(
-            self._image, max_corners=self.detector_max_corners,
-            border=self.templ_width)
+        if self._detected is not None:      # dispatched by prefetch_frame
+            corners, valid = self._detected
+        else:
+            corners, valid = features.detect_corners(
+                self._image, max_corners=self.detector_max_corners,
+                border=self.templ_width)
         # suppress candidates near currently tracked landmark projections
         proj = self.tracker.predicted_pixels(state)
         exist_valid = jnp.asarray(np.asarray(state.lm_active))
@@ -166,9 +195,9 @@ class KltCornersMatcher(ImageTemplCornersMatcher):
         self._chi2 = float(ell_mod.chi_square_quantile_2dof(ellipse_confidence))
         self._prev_image = None
 
-    def analyze_frame(self, image_gray: np.ndarray) -> None:
+    def analyze_frame(self, image_gray: np.ndarray | None = None) -> None:
         self._prev_image = self._image
-        self._image = jnp.asarray(image_gray, jnp.float32)
+        super().analyze_frame(image_gray)
 
     def match_salient_points(self, state: MonoSlamState, frame_ind: int
                              ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -118,6 +118,57 @@ def run_image_sequence(
     return state, stats_list
 
 
+def run_image_sequence_pipelined(
+    tracker: MonoSlamFilter,
+    matcher,                      # ImageTemplCornersMatcher-like
+    images,                       # iterable of [H,W] grayscale arrays
+    state: MonoSlamState | None = None,
+) -> tuple[MonoSlamState, list]:
+    """``run_image_sequence`` with match/update pipeline overlap.
+
+    Bitwise-identical results to the sequential loop; only the *schedule*
+    differs. The reference gets perception/filter overlap from a worker+UI
+    thread split (demo-davison-mono-slam-ui.h:164); here it falls out of
+    XLA's async dispatch — the trick is ordering the host loop so that all
+    blocking fetches of frame f's results happen AFTER frame f+1's
+    state-independent perception work is enqueued:
+
+      dispatch EKF step(f)                      [device busy]
+      prefetch frame f+1: host decode -> device upload -> Shi-Tomasi pass
+                                                [host + queue fill, no block]
+      fetch step(f)'s new_slots, cut templates  [first block; device has
+                                                 already started f+1's work]
+
+    On the remote-attached TPU every avoided idle gap also avoids a tunnel
+    round-trip, so the pipelined loop is measurably faster end-to-end
+    (analysis/bench_pipelined.py).
+    """
+    if state is None:
+        state = tracker.init_state()
+    stats_list = []
+    it = iter(images)
+    cur = next(it, None)
+    if cur is None:
+        return state, stats_list
+    matcher.prefetch_frame(np.asarray(cur))
+    f = 0
+    while cur is not None:
+        matcher.analyze_frame()                 # consume the prefetch
+        obs, obs_mask = matcher.match_salient_points(state, f)
+        new_pix, new_mask = matcher.recruit_new_salient_points(state, f, obs_mask)
+        state, stats = tracker.process_frame(state, obs, obs_mask,
+                                             new_pix, new_mask)
+        cur = next(it, None)
+        if cur is not None:                     # overlaps the step above
+            matcher.prefetch_frame(np.asarray(cur))
+        matcher.on_landmarks_added(np.asarray(stats.new_slots),
+                                   np.asarray(new_pix), state)
+        matcher.sync_removed(state)
+        stats_list.append(stats)
+        f += 1
+    return state, stats_list
+
+
 def camera_orientation_error_deg(stats_cam_state: np.ndarray, cfw_gt: SE3) -> float:
     """Angle between estimated and GT camera orientation, degrees."""
     q_est = jnp.asarray(stats_cam_state[3:7])

@@ -13,7 +13,8 @@ from surikatoko_tpu.vision.matcher import (
     ImageTemplCornersMatcher, KltCornersMatcher)
 from surikatoko_tpu.world import scene_gen
 from surikatoko_tpu.world.runner import (
-    gt_poses_in_tracker_frame, run_image_sequence)
+    gt_poses_in_tracker_frame, run_image_sequence,
+    run_image_sequence_pipelined)
 
 
 def render_world(points_tracker, cfw: SE3, cam, frame, size=(240, 320),
@@ -78,6 +79,61 @@ def test_imageseq_closed_loop():
     # bounded drift rather than metric accuracy
     assert np.max(pos_err) < 0.5, np.max(pos_err)
     assert np.all(np.isfinite(np.asarray(state.x)))
+
+
+@pytest.mark.parametrize("matcher_cls", [ImageTemplCornersMatcher,
+                                         KltCornersMatcher])
+def test_pipelined_loop_matches_sequential(matcher_cls):
+    """run_image_sequence_pipelined reorders the host schedule to overlap
+    perception with the device EKF step — the results must stay bitwise
+    identical to the sequential loop (same ops, same order of consumption)."""
+    wb = scene_gen.WorldBounds(0.0, 0.6, 0.0, 0.6, 0.0, 0.6001)
+    points_world = np.asarray(
+        scene_gen.generate_grid_points(wb, (0.5, 0.5, 0.5), 0.3))
+    center = np.array([0.3, 0.3, 0.3])
+    gt_cfw_world = scene_gen.oscillate_right_and_left(
+        center + np.array([0, -1.5, 0]), center, (0, 0, 1),
+        max_deviation=0.3, periods_count=1, shots_per_period=60,
+        const_view_dir=True)
+    gt_cfw = gt_poses_in_tracker_frame(gt_cfw_world)
+    tfw = SE3(gt_cfw_world.R[0], gt_cfw_world.t[0])
+    pts = np.asarray(points_world @ np.asarray(tfw.R).T + np.asarray(tfw.t))
+
+    cam = camera.make_intrinsics((160, 120), (80.0, 60.0), 1.95, (0.02, 0.02))
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.02,
+                         process_noise_ang_veloc_std=0.005,
+                         measurm_noise_std_pix=1.0,
+                         sal_pnt_init_inv_dist=0.6,
+                         sal_pnt_init_inv_dist_std=0.6)
+    images = [render_world(pts, gt_cfw, cam, f, size=(120, 160))
+              for f in range(10)]
+
+    def run(runner_fn):
+        tracker = MonoSlamFilter(params, capacity=12, update_impl=1)
+        kwargs = dict(templ_width=11, detector_max_corners=12,
+                      min_distance_new_to_tracked=12.0)
+        if matcher_cls is ImageTemplCornersMatcher:
+            kwargs.update(search_radius=8, min_corr_coeff=0.6)
+        else:
+            kwargs.update(klt_levels=2, klt_win=5)
+        matcher = matcher_cls(tracker, **kwargs)
+        return runner_fn(tracker, matcher, images)
+
+    st_seq, stats_seq = run(run_image_sequence)
+    st_pipe, stats_pipe = run(run_image_sequence_pipelined)
+
+    assert np.array_equal(np.asarray(st_seq.x), np.asarray(st_pipe.x))
+    assert np.array_equal(np.asarray(st_seq.P), np.asarray(st_pipe.P))
+    assert np.array_equal(np.asarray(st_seq.lm_active),
+                          np.asarray(st_pipe.lm_active))
+    assert len(stats_seq) == len(stats_pipe) == len(images)
+    for a, b in zip(stats_seq, stats_pipe):
+        assert int(a.obs_count) == int(b.obs_count)
+        assert int(a.new_count) == int(b.new_count)
+    # the loop actually recruited and tracked something (not vacuous parity)
+    assert int(stats_seq[0].new_count) >= 4
+    assert np.mean([int(s.obs_count) for s in stats_seq[3:]]) >= 3
 
 
 @pytest.mark.slow
