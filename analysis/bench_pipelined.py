@@ -61,27 +61,32 @@ def main() -> None:
     n_frames = 60
     images = [render_world(pts, gt_cfw, cam, f) for f in range(n_frames)]
 
-    def run(runner_fn):
+    def run(runner_fn, rep: int = 0):
         tracker = MonoSlamFilter(params, capacity=48, update_impl=1)
         matcher = ImageTemplCornersMatcher(
             tracker, templ_width=15, search_radius=10, min_corr_coeff=0.6,
             detector_max_corners=48, min_distance_new_to_tracked=15.0)
-        return runner_fn(tracker, matcher, images)
+        # vary every rep's input above f32 eps: the remote tunnel memoizes
+        # identical (executable, args) executions (CLAUDE.md), so reruns on
+        # bitwise-identical images would time host overhead only. A constant
+        # offset leaves the (mean-subtracting) NCC results untouched.
+        imgs = [np.asarray(im, np.float32) + 1e-3 * rep for im in images]
+        return runner_fn(tracker, matcher, imgs)
 
     # warm the compile caches (both loops hit the same jitted programs)
     run(run_image_sequence)
 
     def med3(fn):
         ts = []
-        for _ in range(3):
+        for r in range(3):
             t0 = time.perf_counter()
-            st, _ = fn()
+            st, _ = fn(r + 1)
             float(jnp.sum(st.x))       # force completion (remote tunnel)
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[1]
 
-    t_seq = med3(lambda: run(run_image_sequence))
-    t_pipe = med3(lambda: run(run_image_sequence_pipelined))
+    t_seq = med3(lambda r: run(run_image_sequence, r))
+    t_pipe = med3(lambda r: run(run_image_sequence_pipelined, r))
 
     print(json.dumps({
         "metric": "imageseq_hostdriven_pipeline_speedup",

@@ -99,7 +99,10 @@ def main() -> None:
     n_chunks = 6
     ts = []
     for r in range(3):             # median of 3 runs rides out transients
-        cur = st._replace(x=st.x * (1.0 + 1e-9 * (r + 1)))
+        # perturbation must exceed f32 eps (~1.19e-7): the remote tunnel
+        # memoizes identical (executable, args) executions, and 1+1e-9
+        # rounds to exactly 1.0f (advisor finding, round 2)
+        cur = st._replace(x=st.x * (1.0 + 1e-6 * (r + 1)))
         jax.block_until_ready(cur.x)
         t0 = time.perf_counter()
         for c in range(n_chunks):
@@ -144,7 +147,7 @@ def main() -> None:
     for r in range(3):                            # median rides out transients
         t0 = time.perf_counter()
         st2, (err_b, n_b, pos_b) = run_big(
-            st_big._replace(x=st_big.x * (1.0 + 1e-9 * (r + 1))),
+            st_big._replace(x=st_big.x * (1.0 + 1e-6 * (r + 1))),
             templates, sc_big, fr_big)
         _ = float(jnp.sum(st2.x))
         ts_big.append(time.perf_counter() - t0)

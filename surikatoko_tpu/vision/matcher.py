@@ -73,6 +73,9 @@ class ImageTemplCornersMatcher:
         else:
             self._image = jnp.asarray(image_gray, jnp.float32)
             self._detected = None
+            # drop any queued prefetch: a later argument-less analyze_frame
+            # must not silently consume a frame older than this one
+            self._prefetched = None
 
     def prefetch_frame(self, image_gray: np.ndarray) -> None:
         """Upload the NEXT frame and dispatch its (state-independent) corner

@@ -98,7 +98,12 @@ class LiveMonoSlamView:
         covs = np.asarray(covs)
 
         ax = self.ax3d
+        # user camera orbit sticks across redraws (the reference UI's
+        # orbitable 3D scene, demo-davison-mono-slam-ui.h:77): read the
+        # axes' current view angles BEFORE cla clobbers them, restore after
+        azim, elev = ax.azim, ax.elev
         ax.cla()
+        ax.view_init(elev=elev, azim=azim)
         ax.set_title(f"frame {frame_ind}"
                      + ("  [SUPPRESSED]" if self.suppress else ""))
         tr = np.stack(self.traj_est)
