@@ -75,7 +75,7 @@ def main() -> int:
     def run_one(p_raw):
         """normalize -> on-device LM -> revert, all traced (vmap-able)."""
         p_norm, ns = normalize.normalize_scene(p_raw)
-        p_opt, code, iters, err = lm_device.run_lm_on_device(
+        p_opt, code, iters, err, _trials = lm_device.run_lm_on_device(
             p_norm, blocks_fn=blocks_fn, solve_fn=solve_fn,
             apply_fn=derivs.apply_corrections, err_fn=reproj_error,
             err_thresh=term.allowed_reproj_err_rel_change,

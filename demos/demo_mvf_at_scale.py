@@ -190,23 +190,33 @@ def main() -> int:
               f"traj_ate {ate_pre_closure:.3f} -> {_traj_ate():.3f} "
               f"({time.time()-tb:.1f}s)", flush=True)
 
-    # timed final BA with a fixed iteration budget (the iters/s headline)
+    # timed final BA with a fixed iteration budget (the iters/s headline).
+    # device_loop: the whole LM (incl. damping retries) is ONE device
+    # dispatch — the host-driven loop pays 2 blocking ~25 ms syncs per
+    # damped trial through the remote tunnel, which was most of the round-2
+    # 4.5 iters/s (docs/SCALING.md "Pipeline-integrated BA")
     term = TermCriteria(allowed_reproj_err_rel_change=None,
                         max_iters=args.ba_iters)
     tids, p = mvf._sparse_problem(pad_points=8)
     from surikatoko_tpu.models.ba import SparseBundleAdjustment
     ba = SparseBundleAdjustment(optimize_intrinsics=False,
                                 point_chunk=mvf.ba_point_chunk,
-                                unity_comp_ind=mvf._unity_comp_ind())
+                                unity_comp_ind=mvf._unity_comp_ind(),
+                                device_loop=True)
     t0 = time.time()
     ok, p_opt = ba.compute_inplace(p, term)     # includes compile
     t_compile = time.time() - t0
     plan = getattr(ba, "_band_sig", None)
+    print(f"final BA band plan (W, banded chunks, ovf chunk, pc, ext): "
+          f"{plan}", flush=True)
     t0 = time.time()
+    # perturbation above f32 eps: the remote tunnel memoizes identical
+    # (executable, args) executions, and 1+1e-9 rounds to exactly 1.0f
     ok, p_opt = ba.compute_inplace(
-        p._replace(points=p.points * (1.0 + 1e-9)), term)
+        p._replace(points=p.points * (1.0 + 1e-6)), term)
     t_ba = time.time() - t0
     n_timed = ba.iterations
+    n_trials = ba.trials
     iters_per_s = n_timed / max(t_ba, 1e-9)
 
     # convergence polish for the reported accuracy (not timed as headline)
@@ -236,9 +246,9 @@ def main() -> int:
     print(f"integration: {n_frames - 2} frames in {t_integrate:.1f}s = "
           f"{fps:.1f} frames/s (windowed BA time {ba_time:.1f}s, "
           f"{mvf.ba_runs} runs; {n_fail} fallback frames)")
-    print(f"final BA: {n_timed} LM iters in {t_ba:.2f}s = "
-          f"{iters_per_s:.2f} iters/s (banded={plan is not None}; "
-          f"compile+first {t_compile:.1f}s)")
+    print(f"final BA: {n_timed} LM iters ({n_trials} damped solves) in "
+          f"{t_ba:.2f}s = {iters_per_s:.2f} iters/s (banded={plan is not None};"
+          f" one dispatch; compile+first {t_compile:.1f}s)")
     print(f"map={len(tids_m)} points  map_ate_rmse={map_ate:.4f}  "
           f"traj_ate_rmse={traj_ate:.4f}")
     import json

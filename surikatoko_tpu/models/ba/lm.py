@@ -36,28 +36,41 @@ class TermCriteria:
 
 
 def _run_device_loop(driver, p, term_crit: TermCriteria, blocks_fn, solve_fn,
-                     apply_fn, err_fn):
+                     apply_fn, err_fn, solve_extra=None):
     """Run the whole LM as one compiled program (models/ba/lm_device.py) and
     map its stop code back onto the host driver's (ok, stop_reason,
     iterations) reporting. One device dispatch per BA instead of ~4 calls +
-    2 blocking host syncs per iteration."""
+    2 blocking host syncs per iteration.
+
+    ``solve_extra`` (optional) is a TRACED argument forwarded to solve_fn as
+    its 4th parameter — the banded Schur point permutation rides here, so a
+    re-planned (grown) problem with unchanged band geometry reuses the
+    compiled program instead of baking the permutation in as a constant."""
     from surikatoko_tpu.models.ba import lm_device
 
+    # max_iters rides as a TRACED scalar (only ever compared against the
+    # iteration counter): a follow-up run with a different budget — e.g. the
+    # final-polish pattern — reuses the compiled program
     key = (term_crit.allowed_reproj_err_rel_change,
-           term_crit.max_hessian_factor, term_crit.max_iters)
+           term_crit.max_hessian_factor, solve_extra is not None)
     if driver._dev_run is None or driver._dev_key != key:
-        def runner(p0):
+        def runner(p0, max_iters, *extra):
+            sf = (solve_fn if not extra
+                  else lambda pp, b, f: solve_fn(pp, b, f, extra[0]))
             return lm_device.run_lm_on_device(
-                p0, blocks_fn=blocks_fn, solve_fn=solve_fn,
+                p0, blocks_fn=blocks_fn, solve_fn=sf,
                 apply_fn=apply_fn, err_fn=err_fn,
                 err_thresh=term_crit.allowed_reproj_err_rel_change,
                 max_factor=term_crit.max_hessian_factor,
-                max_iters=term_crit.max_iters)
+                max_iters=max_iters)
         driver._dev_run = jax.jit(runner)
         driver._dev_key = key
-    p_out, code, iters, _err = driver._dev_run(p)
+    mi = jnp.asarray(term_crit.max_iters, jnp.int32)
+    args = (p, mi) if solve_extra is None else (p, mi, solve_extra)
+    p_out, code, iters, _err, trials = driver._dev_run(*args)
     code = int(code)
     driver.iterations = int(iters)
+    driver.trials = int(trials)
     driver.stop_reason = lm_device.STOP_REASON_STR.get(code, "")
     return lm_device.STOP_OK.get(code, True), p_out
 
@@ -71,6 +84,7 @@ class BundleAdjustment:
     device_loop: bool = False   # run the WHOLE LM as one compiled program
     stop_reason: str = field(default="", init=False)
     iterations: int = field(default=0, init=False)
+    trials: int = field(default=0, init=False)   # damped solves incl. rejected
 
     def __post_init__(self):
         pins = tuple(int(f) for f in self.pin_frames)
@@ -82,6 +96,12 @@ class BundleAdjustment:
             optimize_intrinsics=self.optimize_intrinsics, pin_frames=pins))
         self._apply = jax.jit(derivs.apply_corrections)
         self._err = jax.jit(reproj_error)
+        # jitted gauge transforms: eager ops each pay a full dispatch
+        # round-trip on a remote-attached TPU
+        self._normalize = jax.jit(functools.partial(
+            normalize.normalize_scene, t1y=self.t1y,
+            unity_comp_ind=self.unity_comp_ind))
+        self._revert = jax.jit(normalize.revert_normalization)
         self._dev_run = None
         self._dev_key = None
 
@@ -94,9 +114,9 @@ class BundleAdjustment:
         if not normalize.can_normalize(p, self.unity_comp_ind):
             self.stop_reason = "cannot normalize (zero cam0-cam1 shift)"
             return False, p
-        p_norm, ns = normalize.normalize_scene(p, self.t1y, self.unity_comp_ind)
+        p_norm, ns = self._normalize(p)
         ok, p_opt = self.compute_on_normalized_world(p_norm, term_crit)
-        return ok, normalize.revert_normalization(p_opt, ns)
+        return ok, self._revert(p_opt, ns)
 
     def compute_on_normalized_world(self, p: BAProblem,
                                     term_crit: TermCriteria
@@ -123,6 +143,7 @@ class BundleAdjustment:
         # (e.g. dino 4.56e-8 rel) sit below the f32 resolution of the error.
         eps_floor = 32.0 * float(jnp.finfo(p.points.dtype).eps)
         self.iterations = 0
+        self.trials = 0
 
         for _ in range(term_crit.max_iters):
             blocks = self._compute_blocks(p)
@@ -130,6 +151,7 @@ class BundleAdjustment:
             err_new_prev = None
             while True:
                 dX, du, ok = self._solve(blocks, hessian_factor)
+                self.trials += 1
                 if bool(ok):
                     p_try = self._apply(p, dX, du)
                     err_new = float(self._err(p_try))
@@ -182,6 +204,7 @@ class SparseBundleAdjustment:
                                  # (sparse.plan_bands; auto-fallback)
     stop_reason: str = field(default="", init=False)
     iterations: int = field(default=0, init=False)
+    trials: int = field(default=0, init=False)   # damped solves incl. rejected
 
     def __post_init__(self):
         from surikatoko_tpu.models.ba import sparse as sp
@@ -193,6 +216,9 @@ class SparseBundleAdjustment:
             optimize_intrinsics=self.optimize_intrinsics,
             pin_frames=tuple(int(f) for f in self.pin_frames)))
         self._apply = jax.jit(sp.apply_corrections)
+        self._normalize = jax.jit(functools.partial(
+            normalize.normalize_scene, unity_comp_ind=self.unity_comp_ind))
+        self._revert = jax.jit(normalize.revert_normalization)
         self._solver = None
         self._dev_run = None
         self._dev_key = None
@@ -215,10 +241,8 @@ class SparseBundleAdjustment:
             self._mesh_band_plan = plan
             self._band_ext = (None if plan is None
                               else jnp.asarray(plan.ext_idx))
-            ext_sig = None if plan is None else plan.ext_idx.tobytes()
-            if getattr(self, "_ext_sig", ...) != ext_sig:
-                self._ext_sig = ext_sig
-                self._dev_run = None         # device loop bakes ext in
+            # ext_idx is a TRACED argument everywhere (incl. the device
+            # loop via solve_extra): only a band GEOMETRY change recompiles
             if getattr(self, "_band_sig", ...) != sig:
                 self._band_sig = sig
                 self._dev_run = None
@@ -231,10 +255,6 @@ class SparseBundleAdjustment:
             plan.band_width, plan.n_banded_chunks, plan.overflow_chunk,
             plan.point_chunk, plan.ext_idx.shape)
         self._band_ext = None if plan is None else jnp.asarray(plan.ext_idx)
-        ext_sig = None if plan is None else plan.ext_idx.tobytes()
-        if getattr(self, "_ext_sig", ...) != ext_sig:
-            self._ext_sig = ext_sig
-            self._dev_run = None             # device loop bakes ext in
         if getattr(self, "_band_sig", ...) == sig:
             return
         self._band_sig = sig
@@ -252,7 +272,9 @@ class SparseBundleAdjustment:
                 optimize_intrinsics=self.optimize_intrinsics,
                 point_chunk=self.point_chunk, pin_frames=pins))
 
-    def _solve(self, p, blocks, factor):
+    def _solve(self, p, blocks, factor, ext=None):
+        if ext is None:
+            ext = self._band_ext
         if self.mesh is not None:
             if self._solver is None:
                 from surikatoko_tpu.parallel.sharded_schur import (
@@ -265,13 +287,12 @@ class SparseBundleAdjustment:
                     tuple(int(f) for f in self.pin_frames),
                     band_plan=getattr(self, "_mesh_band_plan", None))
             if getattr(self, "_mesh_band_plan", None) is not None:
-                return self._solver(p, blocks, factor, self._band_ext)
+                return self._solver(p, blocks, factor, ext)
             return self._solver(p, blocks, factor)
         if not hasattr(self, "_local_solver"):
             self._plan_band(p)
-        if self._band_ext is not None:
-            return self._local_solver(p, blocks, factor,
-                                      ext_idx=self._band_ext)
+        if ext is not None:
+            return self._local_solver(p, blocks, factor, ext_idx=ext)
         return self._local_solver(p, blocks, factor)
 
     def compute_inplace(self, p, term_crit: TermCriteria | None = None):
@@ -283,10 +304,9 @@ class SparseBundleAdjustment:
         if not normalize.can_normalize(p, self.unity_comp_ind):
             self.stop_reason = "cannot normalize (zero cam0-cam1 shift)"
             return False, p
-        p_norm, ns = normalize.normalize_scene(
-            p, unity_comp_ind=self.unity_comp_ind)
+        p_norm, ns = self._normalize(p)
         ok, p_opt = self.compute(p_norm, term_crit)
-        return ok, normalize.revert_normalization(p_opt, ns)
+        return ok, self._revert(p_opt, ns)
 
     def compute(self, p, term_crit: TermCriteria | None = None):
         term_crit = term_crit or TermCriteria()
@@ -297,19 +317,24 @@ class SparseBundleAdjustment:
                 self._sp.compute_blocks, unity_comp_ind=self.unity_comp_ind,
                 optimize_intrinsics=self.optimize_intrinsics,
                 pin_frames=pins)
+            # banded: the point permutation rides as a traced argument so a
+            # grown problem with unchanged band geometry reuses the program
             return _run_device_loop(
                 self, p, term_crit, blocks_fn, self._solve,
-                self._sp.apply_corrections, self._sp.reproj_error)
+                self._sp.apply_corrections, self._sp.reproj_error,
+                solve_extra=self._band_ext)
         hessian_factor = 1e-4
         err_value = float(self._err(p))
         err_thresh = term_crit.allowed_reproj_err_rel_change
         eps_floor = 32.0 * float(jnp.finfo(p.points.dtype).eps)  # see above
         self.iterations = 0
+        self.trials = 0
         for _ in range(term_crit.max_iters):
             blocks = self._blocks(p)
             err_new_prev = None
             while True:
                 dX, du, ok = self._solve(p, blocks, hessian_factor)
+                self.trials += 1
                 if bool(ok):
                     p_try = self._apply(p, dX, du)
                     err_new = float(self._err(p_try))

@@ -60,6 +60,7 @@ class _Outer(NamedTuple):
     factor: jnp.ndarray
     iters: jnp.ndarray
     code: jnp.ndarray
+    trials: jnp.ndarray   # total damped solves (incl. rejected trials)
 
 
 class _Inner(NamedTuple):
@@ -69,6 +70,7 @@ class _Inner(NamedTuple):
     p_try: Any
     err_try: jnp.ndarray
     status: jnp.ndarray   # 0 keep damping, 1 accepted, else a STOP_* code
+    trials: jnp.ndarray
 
 
 def _select_tree(pred, a, b):
@@ -87,9 +89,12 @@ def run_lm_on_device(
     max_iters: int,
     initial_factor: float = 1e-4,
     eps_floor_mult: float = 32.0,
-) -> tuple[Any, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (p_final, stop_code, iterations, final_err). Trace-friendly:
-    call under jax.jit (or vmap for batch BA)."""
+) -> tuple[Any, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (p_final, stop_code, iterations, final_err, trials) where
+    ``trials`` counts every damped solve including rejected damping retries
+    (``iterations`` counts only accepted steps — on a near-converged problem
+    the two diverge, and trials is what wall-clock scales with).
+    Trace-friendly: call under jax.jit (or vmap for batch BA)."""
     err0 = err_fn(p0)
     dtype = err0.dtype
     eps_floor = eps_floor_mult * float(jnp.finfo(dtype).eps)
@@ -137,14 +142,16 @@ def run_lm_on_device(
                 has_prev=jnp.logical_or(t.has_prev, ok),
                 p_try=p_try,
                 err_try=err_new,
-                status=status)
+                status=status,
+                trials=t.trials + 1)
 
         t0 = _Inner(factor=c.factor,
                     err_prev=jnp.zeros((), dtype),
                     has_prev=jnp.asarray(False),
                     p_try=c.p,
                     err_try=c.err,
-                    status=jnp.asarray(0, jnp.int32))
+                    status=jnp.asarray(0, jnp.int32),
+                    trials=jnp.zeros((), jnp.int32))
         t = jax.lax.while_loop(inner_cond, inner_body, t0)
 
         accepted = t.status == 1
@@ -162,11 +169,12 @@ def run_lm_on_device(
                                 STOP_RUNNING))).astype(jnp.int32)
         return _Outer(p=p_new, err=err_new,
                       factor=jnp.where(accepted, t.factor / 10.0, t.factor),
-                      iters=iters, code=code)
+                      iters=iters, code=code, trials=c.trials + t.trials)
 
     c0 = _Outer(p=p0, err=err0,
                 factor=jnp.asarray(initial_factor, dtype),
                 iters=jnp.zeros((), jnp.int32),
-                code=jnp.asarray(STOP_RUNNING, jnp.int32))
+                code=jnp.asarray(STOP_RUNNING, jnp.int32),
+                trials=jnp.zeros((), jnp.int32))
     c = jax.lax.while_loop(outer_cond, outer_body, c0)
-    return c.p, c.code, c.iters, c.err
+    return c.p, c.code, c.iters, c.err, c.trials

@@ -281,7 +281,7 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 20,
             d = _solve_damped(p, blocks, lam)
             return d, jnp.zeros((), dtype), jnp.all(jnp.isfinite(d))
 
-        g_out, _code, _iters, _err = jax.jit(lambda g0: lm_device.run_lm_on_device(
+        g_out, _code, _iters, _err, _tr = jax.jit(lambda g0: lm_device.run_lm_on_device(
             g0, blocks_fn=_linearize, solve_fn=solve_fn,
             apply_fn=lambda p, dX, _du: _apply_step(p, dX),
             err_fn=graph_error, err_thresh=None, max_factor=max_damping,

@@ -88,7 +88,8 @@ def test_device_loop_vmaps_batch_ba():
 
     # note: problems here are pre-normalized enough for the gauge (frame 0
     # exact); batch runs on the raw problems for the vmap smoke check
-    p_out, code, iters, err = jax.jit(jax.vmap(run_one))(batched)
+    p_out, code, iters, err, trials = jax.jit(jax.vmap(run_one))(batched)
+    assert np.all(np.asarray(trials) >= np.asarray(iters))
     assert code.shape == (3,)
     e0 = np.array([float(reproj_error(pp)) for pp in probs])
     assert np.all(np.asarray(err) < 0.2 * e0)
