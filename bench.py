@@ -18,6 +18,11 @@ Extra keys recorded alongside the headline number:
   imageseq_ate_rmse_k768 its trajectory ATE
   ncc_pallas_maxdiff     on-device Pallas-vs-XLA NCC parity (max |corr diff|
                          over matched slots of one rendered frame)
+  schur_pct_of_ceiling   full-width 10k x 500 sparse Schur solve as % of the
+                         chip's measured f32-accumulation matmul ceiling
+                         (BASELINE north-star: >= 60)
+  ba_iters_per_s         banded-Schur LM iteration rate (derivative rebuild +
+                         damped solve) at 10k x 500 (BASELINE "BA iters/sec")
 """
 
 from __future__ import annotations
@@ -176,6 +181,68 @@ def main() -> None:
     center_agree = float(jnp.mean(jnp.where(
         both, jnp.all(rp.best_center == rx.best_center, axis=-1), True)))
 
+    # ---- at-scale sparse Schur BA: % of roofline + LM iters/s ----
+    # (driver-captured versions of the analysis/roofline_schur.py numbers:
+    # the BASELINE north-star asks >=60% of the measured ceiling for the
+    # Schur solve and quotes "BA iters/sec" as the dino/at-scale metric)
+    import functools
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "analysis"))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "demos"))
+    from roofline_schur import _time_compiled
+    from demo_ba_at_scale import build_problem
+    from surikatoko_tpu.models.ba import sparse as sp
+
+    reps = 3
+    # BENCH_SMOKE=1: tiny shapes for a CPU correctness pass of this section
+    smoke = os.environ.get("BENCH_SMOKE", "") == "1"
+    _progress("matmul ceiling (f32 accumulation)")
+    n_mm, k_mm = (512, 2) if smoke else (4096, 8)
+    b_mm = jax.random.normal(jax.random.PRNGKey(1), (n_mm, n_mm), dtype)
+    a_mm = jax.random.normal(jax.random.PRNGKey(0), (n_mm, n_mm), dtype)
+
+    def chain(x, y):
+        def body(c, _):
+            return y @ c * 1e-3, None
+        out, _ = jax.lax.scan(body, x, None, length=k_mm)
+        return out
+
+    t_mm = _time_compiled(chain, lambda r: (a_mm * (1.0 + 0.01 * r), b_mm),
+                          reps)
+    ceiling = 2.0 * k_mm * n_mm ** 3 / t_mm
+
+    _progress("building 10k x 500 sparse BA problem")
+    NP_BA, F_BA, L_BA, PC = ((2048, 64, 8, 256) if smoke
+                             else (10_000, 500, 12, 2048))
+    ps = build_problem(NP_BA, F_BA, L_BA, noise_pix=0.5, seed=0, dtype=dtype)
+    blocks = jax.jit(sp.compute_blocks)(ps)
+    jax.block_until_ready(blocks.E)
+    hf = jnp.asarray(1e-4, dtype)
+
+    _progress("timing full-width Schur solve (pct of ceiling)")
+    solve_full = functools.partial(
+        sp.solve_corrections_schur_sparse, point_chunk=PC)
+    t_solve = _time_compiled(
+        solve_full, lambda r: (ps, blocks, hf * (1.0 + 1e-6 * r)), reps)
+    # analytic FLOPs (see analysis/roofline_schur.py:179-194): Gram strips
+    # + reduced Cholesky; XLA cost_analysis undercounts fori_loop bodies
+    nF = 10 * F_BA
+    n_chunks = -(-NP_BA // PC)
+    f_solve = (n_chunks * 2.0 * (3 * PC) * nF ** 2
+               + nF ** 3 / 3.0 + 2.0 * nF ** 2)
+    schur_pct = 100.0 * (f_solve / t_solve) / ceiling
+
+    _progress("timing banded BA iteration rate")
+    plan = sp.plan_bands(ps.frame_idx, ps.obs_mask, PC, ps.n_frames)
+    solve_band = functools.partial(sp.solve_corrections_schur_banded,
+                                   plan=plan)
+    t_band = _time_compiled(
+        solve_band, lambda r: (ps, blocks, hf * (1.0 + 1e-6 * r)), reps)
+    t_blocks = _time_compiled(
+        sp.compute_blocks,
+        lambda r: (ps._replace(points=ps.points * (1.0 + 1e-6 * r)),), reps)
+    ba_iters_per_s = 1.0 / (t_band + t_blocks)
+
     print(json.dumps({
         "metric": "monoslam_scenario03_frames_per_sec_per_chip",
         "value": round(fps, 2),
@@ -187,6 +254,9 @@ def main() -> None:
         "imageseq_matched_med_k768": n_match_med,
         "ncc_pallas_maxdiff": pallas_maxdiff,
         "ncc_pallas_center_agreement": round(center_agree, 4),
+        "schur_pct_of_ceiling": round(schur_pct, 1),
+        "ba_iters_per_s": round(ba_iters_per_s, 2),
+        "matmul_ceiling_tflops": round(ceiling / 1e12, 1),
     }))
 
 

@@ -35,9 +35,13 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize with TPU-pod auto-detection (all args
-    optional on GCE TPU VMs; explicit for manual clusters)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    optional on GCE TPU VMs; explicit for manual clusters).
+
+    Must run before anything initializes the XLA backend — the guard is
+    jax.distributed.is_initialized(), NOT jax.process_count() (which itself
+    initializes the backend and would wedge a real pod bring-up)."""
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(coordinator_address=coordinator_address,
