@@ -9,8 +9,11 @@ tracks frame-local (the banding-friendly structure real turntable/corridor
 sequences have) and NON-wrapping — the chain stays open and visual-odometry
 drift accumulates, exactly like a real monocular run. A short REVISIT
 segment then re-enters the start region, re-detecting the head landmarks as
-new tracks; a place-recognition oracle pairs them with the originals and
-the accumulated Sim(3) loop error closes through the pose graph
+new tracks; place recognition pairs them with the originals — by default
+APPEARANCE-BASED (steered-BRIEF over rendered frames, mutual-NN hamming,
+similarity-RANSAC on the drifted map; vision/place_recognition.py), with
+--oracle_pairs falling back to the GT oracle — and the accumulated Sim(3)
+loop error closes through the pose graph
 (MultiViewFactorizer.close_loop_sim3) before the final global BA.
 
 Per frame: matcher writes corners -> anchor selection -> SVD-12 relative
@@ -51,6 +54,13 @@ def main() -> int:
                          "(reported ATE comes from this state)")
     ap.add_argument("--revisit_frames", type=int, default=12,
                     help="frames of the loop-closure revisit segment")
+    ap.add_argument("--oracle_pairs", action="store_true",
+                    help="use the GT place-recognition oracle for closure "
+                         "pairs (default: appearance-based steered-BRIEF + "
+                         "similarity-RANSAC, vision/place_recognition.py)")
+    ap.add_argument("--pr_ransac_thresh", type=float, default=0.25,
+                    help="similarity-RANSAC inlier threshold (map units) "
+                         "for appearance-based closure pairs")
     ap.add_argument("--ba_iters", type=int, default=5,
                     help="LM iterations of the timed final global BA")
     ap.add_argument("--f32", action="store_true")
@@ -123,20 +133,62 @@ def main() -> int:
           f"(dense grid would be {dense_bytes/1e6:.0f}MB, "
           f"{100.0*L/n_base:.2f}% occupied)", flush=True)
 
+    # ---- world appearance (for appearance-based place recognition):
+    # every landmark has its own splat brightness/width — world content,
+    # not track identity; the closure pairs must be recovered from rendered
+    # pixels by the descriptor pipeline, not read from an oracle ----
+    amps = rng.uniform(80.0, 200.0, n_pts)
+    sigmas = rng.uniform(1.6, 2.6, n_pts)
+    bg_img = rng.uniform(20.0, 60.0, size=(480, 640))
+    bg_img = (bg_img + np.roll(bg_img, 1, 0) + np.roll(bg_img, 1, 1)
+              + np.roll(bg_img, -1, 0) + np.roll(bg_img, -1, 1)) / 5.0
+
+    def render_frame_np(f, ids, pix_true, ok):
+        """640x480 frame: textured background + per-landmark splats at the
+        TRUE projections (detection noise perturbs keypoints, not photons)."""
+        img = bg_img.copy()
+        H, W = img.shape
+        ys = np.arange(H)[:, None]
+        xs = np.arange(W)[None, :]
+        for i, p, o in zip(ids, pix_true, ok):
+            if not o or not (0 <= p[0] < W and 0 <= p[1] < H):
+                continue
+            s2 = 2.0 * sigmas[i % n_pts] ** 2
+            ex = np.exp(-(xs[0] - p[0]) ** 2 / s2)
+            ey = np.exp(-(ys[:, 0] - p[1]) ** 2 / s2)
+            img += amps[i % n_pts] * np.outer(ey, ex)
+        return np.clip(img, 0, 255)
+
+    pr_head_obs: list = []      # (image, keypoints, tids) for head frames
+    pr_tail_obs: list = []      # ... for revisit re-detections
+    collect_pr = args.revisit_frames and not args.oracle_pairs
+    n_head_frames = min(12, max(6, args.revisit_frames))
+
     def write_corners(f):
         Rf, tf = Rs[f], ts_gt[f]
         ids = np.asarray(frame_pts[f], int)
         xc = pts_gt[ids] @ Rf.T + tf
         ok = xc[:, 2] > 0.5
         ph = xc @ K.T
-        pix = ph[:, :2] / ph[:, 2:3] + rng.normal(
+        pix_true = ph[:, :2] / ph[:, 2:3]
+        pix = pix_true + rng.normal(
             scale=args.noise_pix, size=(len(ids), 2))
         head = facing[ids] < n_base // 2
+        kept = []           # (tid_w, noisy pixel) of every written corner
         for tid, p, o, hd in zip(ids, pix, ok, head):
             if o:
                 # revisit: head-region landmarks re-detected as new tracks
                 tid_w = int(tid) + n_pts if (f >= n_base and hd) else int(tid)
                 ts.add_corner(tid_w, f, p, K_inv)
+                kept.append((tid_w, p))
+        if collect_pr and (f < n_head_frames or f >= n_base):
+            if f >= n_base:     # tail group: only the re-detections
+                kept = [(t, p) for t, p in kept if t >= n_pts]
+            if kept:
+                img = render_frame_np(f, ids, pix_true, ok)
+                (pr_tail_obs if f >= n_base else pr_head_obs).append(
+                    (img, np.stack([p for _, p in kept]),
+                     [t for t, _ in kept]))
 
     n_frames = n_total
     t_int0 = time.time()
@@ -180,9 +232,30 @@ def main() -> int:
 
     ate_pre_closure = _traj_ate()
     closed = False
+    n_pr_cand = 0
     if args.revisit_frames:
-        pairs = [(n_pts + i, i) for i in range(n_pts)]
         tb = time.time()
+        if args.oracle_pairs:
+            pairs = [(n_pts + i, i) for i in range(n_pts)]
+        else:
+            # appearance-based place recognition: steered-BRIEF over the
+            # rendered head/revisit frames -> mutual-NN hamming -> similarity
+            # RANSAC over the drifted map positions (no GT oracle)
+            from surikatoko_tpu.vision import place_recognition as pr
+            head_td = pr.describe_tracks(pr_head_obs)
+            tail_td = pr.describe_tracks(pr_tail_obs)
+            cand = pr.match_track_groups(tail_td, head_td)
+            n_pr_cand = len(cand)
+            positions = {t: np.asarray(c)
+                         for t, c in mvf.point_coords.items()}
+            pairs = pr.find_loop_pairs(
+                tail_td, head_td, positions,
+                ransac_threshold=args.pr_ransac_thresh)
+            n_correct = sum(1 for a, b in pairs if a - n_pts == b)
+            print(f"place recognition: {tail_td.tids.size} revisit x "
+                  f"{head_td.tids.size} head tracks -> {n_pr_cand} "
+                  f"appearance candidates -> {len(pairs)} RANSAC-verified "
+                  f"pairs ({n_correct} correct)", flush=True)
         closed, n_common = mvf.close_loop_sim3(
             tail_frames=range(n_base, n_frames), head_frames=range(6),
             pairs=pairs, run_ba=False)
@@ -260,6 +333,8 @@ def main() -> int:
         "traj_ate_rmse": round(traj_ate, 5),
         "traj_ate_pre_closure": round(ate_pre_closure, 5),
         "loop_closed": bool(closed),
+        "closure_oracle_free": bool(args.revisit_frames
+                                    and not args.oracle_pairs),
         "points": len(tids_m), "frames": n_frames}))
     return 0
 
