@@ -34,14 +34,20 @@ def build_problem(n_points, n_frames, L, noise_pix, seed, dtype):
     K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
     cam_angle = np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
     from surikatoko_tpu.geom import se3 as se3_mod
+    import jax
     Rs, ts = [], []
-    for a in cam_angle:
-        eye = np.array([8.0 * np.cos(a), 8.0 * np.sin(a), 1.5])
-        wfc = se3_mod.look_at_luf_wfc(
-            jnp.asarray(eye), jnp.asarray([0.0, 0, 1.5]), jnp.asarray([0.0, 0, 1]))
-        cfw = wfc.inv()
-        Rs.append(np.asarray(cfw.R))
-        ts.append(np.asarray(cfw.t))
+    # pin the eager camera-path math to the LOCAL cpu backend: on the
+    # remote-attached TPU every eager op is a ~25 ms tunnel round-trip,
+    # turning this loop into minutes of pure dispatch latency
+    with jax.default_device(jax.devices("cpu")[0]):
+        for a in cam_angle:
+            eye = np.array([8.0 * np.cos(a), 8.0 * np.sin(a), 1.5])
+            wfc = se3_mod.look_at_luf_wfc(
+                jnp.asarray(eye), jnp.asarray([0.0, 0, 1.5]),
+                jnp.asarray([0.0, 0, 1]))
+            cfw = wfc.inv()
+            Rs.append(np.asarray(cfw.R))
+            ts.append(np.asarray(cfw.t))
     Rs, ts = np.stack(Rs), np.stack(ts)
 
     # visibility: each point seen from a contiguous arc of L cameras facing it

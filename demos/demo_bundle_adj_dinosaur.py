@@ -28,6 +28,14 @@ def main() -> int:
                     help="reproj-err relative-change stop (flagfile-demo-dino)")
     ap.add_argument("--max_points", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--synthesize_fullscale", type=int, metavar="N_POINTS",
+                    default=None,
+                    help="write an N_POINTS-track full-shape synthetic in "
+                         "the REAL file formats (36 stacked P-matrices + "
+                         "viff.xy with -1 holes) into --testdata, then load "
+                         "it through the real parse path (the reference-"
+                         "scale run is N_POINTS=4983, "
+                         "demo-bundle-adj-dinosaur.cpp:97-116)")
     ap.add_argument("--x64", action="store_true", default=True)
     ap.add_argument("--f32", action="store_true",
                     help="run f32 with f32-accumulation matmuls (TPU)")
@@ -47,12 +55,28 @@ def main() -> int:
         BundleAdjustment, TermCriteria, reproj_error)
     from surikatoko_tpu.models.ba.problem import reproj_error_pix_per_point
 
+    if args.synthesize_fullscale:
+        import numpy as _np
+        Ps, obs, mask, gt = dino.synthetic_dino_raw(
+            n_frames=36, n_points=args.synthesize_fullscale,
+            vary_track_len=True)
+        keep = mask.sum(axis=1) >= 2     # match the loader's track filter
+        pdir = dino.write_dino_files(args.testdata, Ps, obs[keep],
+                                     mask[keep], gt_points=gt[keep])
+        holes = int(_np.sum(~mask[keep]))
+        print(f"wrote full-shape real-format synthetic to {pdir}: "
+              f"{int(keep.sum())} tracks x 36 frames, {holes} -1 holes "
+              f"in viff.xy")
+
     dino_file = os.path.join(args.testdata, "oxfvisgeom", "dinosaur",
                              "dinoPs_as_mat108x4.txt")
     gt_points = None
     if not args.synthetic and os.path.exists(dino_file):
         print(f"loading dino data from {args.testdata}")
         p = dino.load_dino_problem(args.testdata, args.f0, args.max_points)
+        gt_points = dino.load_gt_points(args.testdata)
+        if gt_points is not None and args.max_points is not None:
+            gt_points = gt_points[:args.max_points]
     else:
         print("dino files not found -> synthetic dino stand-in "
               "(see testdata/oxfvisgeom/README.md for the real data)")

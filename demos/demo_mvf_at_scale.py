@@ -94,15 +94,19 @@ def main() -> int:
     n_base = n_frames
     n_total = n_base + args.revisit_frames
     Rs, ts_gt = [], []
-    for k in range(n_total):
-        a = 2 * np.pi * (k % n_base) / n_base   # revisit repeats the start
-        eye = np.array([8.0 * np.cos(a), 8.0 * np.sin(a), 1.5])
-        wfc = se3_mod.look_at_luf_wfc(
-            jnp.asarray(eye), jnp.asarray([0.0, 0, 1.5]),
-            jnp.asarray([0.0, 0, 1]))
-        cfw = wfc.inv()
-        Rs.append(np.asarray(cfw.R))
-        ts_gt.append(np.asarray(cfw.t))
+    # pin the eager camera-path math to the LOCAL cpu backend: on the
+    # remote-attached TPU every eager op is a ~25 ms tunnel round-trip,
+    # turning this loop into minutes of pure dispatch latency
+    with jax.default_device(jax.devices("cpu")[0]):
+        for k in range(n_total):
+            a = 2 * np.pi * (k % n_base) / n_base  # revisit repeats the start
+            eye = np.array([8.0 * np.cos(a), 8.0 * np.sin(a), 1.5])
+            wfc = se3_mod.look_at_luf_wfc(
+                jnp.asarray(eye), jnp.asarray([0.0, 0, 1.5]),
+                jnp.asarray([0.0, 0, 1]))
+            cfw = wfc.inv()
+            Rs.append(np.asarray(cfw.R))
+            ts_gt.append(np.asarray(cfw.t))
     Rs, ts_gt = np.stack(Rs), np.stack(ts_gt)
     # base orbit: point i seen in frames facing[i]..facing[i]+L-1, NO wrap
     # (the chain stays open; drift accumulates like a real monocular run);

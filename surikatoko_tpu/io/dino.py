@@ -72,11 +72,18 @@ def build_problem_from_proj_mats(Ps: np.ndarray, obs: np.ndarray,
     return make_problem(np.asarray(points), cfw, np.stack(Ks), obs, mask, f0)
 
 
-def synthetic_dino_problem(n_frames: int = 36, n_points: int = 1024,
-                           f0: float = 600.0, noise_pix: float = 0.5,
-                           visibility: float = 0.3, seed: int = 0) -> tuple[BAProblem, np.ndarray]:
-    """Turntable scene with dino-like statistics. Returns (problem with
-    triangulated-from-noisy-corners initialization, GT points)."""
+def synthetic_dino_raw(n_frames: int = 36, n_points: int = 1024,
+                       noise_pix: float = 0.5, visibility: float = 0.3,
+                       seed: int = 0, vary_track_len: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """Raw turntable scene with dino-like statistics: (Ps [F,3,4],
+    obs [N,F,2], mask [N,F], gt_points [N,3]) — the pre-file-format data,
+    shared by :func:`synthetic_dino_problem` and :func:`write_dino_files`.
+
+    ``vary_track_len`` draws each track's visible arc from [2, F/3]
+    (the real viff.xy's short-track distribution) instead of a fixed arc.
+    """
     rng = np.random.default_rng(seed)
     # body: noisy cylinder, radius ~0.5, height 1
     ang = rng.uniform(0, 2 * np.pi, n_points)
@@ -101,8 +108,10 @@ def synthetic_dino_problem(n_frames: int = 36, n_points: int = 1024,
     # turntable occlusion pattern), with pixel noise
     obs = np.zeros((n_points, n_frames, 2))
     mask = np.zeros((n_points, n_frames), bool)
-    arc = max(2, int(visibility * n_frames))
+    arc_fixed = max(2, int(visibility * n_frames))
     for i in range(n_points):
+        arc = (int(rng.integers(2, max(3, n_frames // 3)))
+               if vary_track_len else arc_fixed)
         facing = np.arctan2(pts[i, 1], pts[i, 0])
         start = int((facing / (2 * np.pi)) * n_frames) % n_frames
         frames = [(start + k) % n_frames for k in range(arc)]
@@ -114,5 +123,58 @@ def synthetic_dino_problem(n_frames: int = 36, n_points: int = 1024,
             pix = ph[:2] / ph[2] + rng.normal(scale=noise_pix, size=2)
             obs[i, j] = pix
             mask[i, j] = True
+    return np.stack(Ps), obs, mask, pts
 
-    return build_problem_from_proj_mats(np.stack(Ps), obs, mask, f0), pts
+
+def synthetic_dino_problem(n_frames: int = 36, n_points: int = 1024,
+                           f0: float = 600.0, noise_pix: float = 0.5,
+                           visibility: float = 0.3, seed: int = 0) -> tuple[BAProblem, np.ndarray]:
+    """Turntable scene with dino-like statistics. Returns (problem with
+    triangulated-from-noisy-corners initialization, GT points)."""
+    Ps, obs, mask, pts = synthetic_dino_raw(
+        n_frames, n_points, noise_pix, visibility, seed)
+    return build_problem_from_proj_mats(Ps, obs, mask, f0), pts
+
+
+GT_SIDECAR = "dino_gt_points.txt"
+
+
+def write_dino_files(out_dir: str, Ps: np.ndarray, obs: np.ndarray,
+                     mask: np.ndarray, gt_points: np.ndarray | None = None
+                     ) -> str:
+    """Write a scene in the REAL VGG dino file formats so the full-size run
+    exercises the same parse path as the actual dataset
+    (demo-bundle-adj-dinosaur.cpp:97-116):
+
+    - ``dinoPs_as_mat108x4.txt``: the F projection matrices stacked to a
+      [3F, 4] text matrix;
+    - ``viff.xy``: [N, 2F] with (x, y) per frame and ``-1.000000`` holes
+      for unobserved entries;
+    - optional GT sidecar (NOT part of the real format; consumed for map-ATE
+      reporting when present).
+
+    Returns the ``oxfvisgeom/dinosaur`` directory it wrote into.
+    """
+    pdir = os.path.join(out_dir, "oxfvisgeom", "dinosaur")
+    os.makedirs(pdir, exist_ok=True)
+    n_frames = Ps.shape[0]
+    with open(os.path.join(pdir, "dinoPs_as_mat108x4.txt"), "w") as f:
+        for row in Ps.reshape(3 * n_frames, 4):
+            f.write(" ".join(f"{v:.10e}" for v in row) + "\n")
+    holes = np.where(mask[:, :, None], obs, -1.0)
+    with open(os.path.join(pdir, "viff.xy"), "w") as f:
+        for row in holes.reshape(-1, 2 * n_frames):
+            f.write("  ".join(f"{v:.6f}" for v in row) + "\n")
+    if gt_points is not None:
+        with open(os.path.join(pdir, GT_SIDECAR), "w") as f:
+            for row in gt_points:
+                f.write(" ".join(f"{v:.10e}" for v in row) + "\n")
+    return pdir
+
+
+def load_gt_points(testdata_dir: str) -> np.ndarray | None:
+    """GT sidecar of a synthesized full-scale scene (None for real data)."""
+    path = os.path.join(testdata_dir, "oxfvisgeom", "dinosaur", GT_SIDECAR)
+    if not os.path.exists(path):
+        return None
+    return read_matrix_from_file(path)

