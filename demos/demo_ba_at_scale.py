@@ -137,8 +137,10 @@ def main() -> int:
         print(f"compile+full LM: {time.time()-t0:.1f}s "
               f"iters={ba.iterations} reason='{ba.stop_reason}'")
         t0 = time.time()
+        # perturbation above f32 eps: the remote tunnel memoizes identical
+        # (executable, args) executions, and 1+1e-9 rounds to exactly 1.0f
         ok, ps1 = ba.compute(ps._replace(
-            points=ps.points * (1.0 + 1e-9)), term)
+            points=ps.points * (1.0 + 1e-6)), term)
         dt = time.time() - t0
         e1 = float(err_fn(ps1))
         print(f"{ba.iterations} LM iters in ONE dispatch: {dt:.2f}s = "

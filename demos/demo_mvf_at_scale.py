@@ -280,6 +280,9 @@ def main() -> int:
                                 point_chunk=mvf.ba_point_chunk,
                                 unity_comp_ind=mvf._unity_comp_ind(),
                                 device_loop=True)
+    # band planning from the host-side observation structure (a device
+    # fetch of these arrays through the remote tunnel measures in minutes)
+    ba.set_plan_inputs(*mvf._last_sparse_inputs)
     t0 = time.time()
     ok, p_opt = ba.compute_inplace(p, term)     # includes compile
     t_compile = time.time() - t0

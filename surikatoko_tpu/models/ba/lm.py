@@ -57,20 +57,34 @@ def _run_device_loop(driver, p, term_crit: TermCriteria, blocks_fn, solve_fn,
         def runner(p0, max_iters, *extra):
             sf = (solve_fn if not extra
                   else lambda pp, b, f: solve_fn(pp, b, f, extra[0]))
-            return lm_device.run_lm_on_device(
+            p_out, code, iters, err, trials = lm_device.run_lm_on_device(
                 p0, blocks_fn=blocks_fn, solve_fn=sf,
                 apply_fn=apply_fn, err_fn=err_fn,
                 err_thresh=term_crit.allowed_reproj_err_rel_change,
                 max_factor=term_crit.max_hessian_factor,
                 max_iters=max_iters)
+            # pack the scalars: ONE device->host fetch instead of four
+            # (each fetch is a full round-trip on a remote-attached TPU;
+            # the counts are < 2^24 so f32 carries them exactly)
+            stats = jnp.stack([code.astype(jnp.float32),
+                               iters.astype(jnp.float32),
+                               trials.astype(jnp.float32),
+                               err.astype(jnp.float32)])
+            return p_out, stats
         driver._dev_run = jax.jit(runner)
         driver._dev_key = key
-    mi = jnp.asarray(term_crit.max_iters, jnp.int32)
+        driver._mi_cache = {}
+    mi = driver._mi_cache.get(term_crit.max_iters)
+    if mi is None:      # cache the pushed scalar: one h2d per budget value
+        mi = jnp.asarray(term_crit.max_iters, jnp.int32)
+        driver._mi_cache[term_crit.max_iters] = mi
     args = (p, mi) if solve_extra is None else (p, mi, solve_extra)
-    p_out, code, iters, _err, trials = driver._dev_run(*args)
-    code = int(code)
-    driver.iterations = int(iters)
-    driver.trials = int(trials)
+    p_out, stats = driver._dev_run(*args)
+    import numpy as np
+    stats = np.asarray(stats)
+    code = int(stats[0])
+    driver.iterations = int(stats[1])
+    driver.trials = int(stats[2])
     driver.stop_reason = lm_device.STOP_REASON_STR.get(code, "")
     return lm_device.STOP_OK.get(code, True), p_out
 
@@ -223,17 +237,38 @@ class SparseBundleAdjustment:
         self._dev_run = None
         self._dev_key = None
 
+    def set_plan_inputs(self, frame_idx, obs_mask) -> None:
+        """Host-side numpy (frame_idx, obs_mask) for the banding plan.
+
+        plan_bands is pure numpy; without these it np.asarray's the
+        problem's DEVICE arrays — a bulk device->host fetch that is
+        pathologically slow through a remote TPU tunnel (measured minutes
+        for a 480 KB array). Callers that build the problem from host data
+        (the MVF pipeline, the demos) should hand the originals over."""
+        import numpy as np
+        self._plan_inputs = (np.asarray(frame_idx), np.asarray(obs_mask))
+
+    def _plan_src(self, p):
+        fi_om = getattr(self, "_plan_inputs", None)
+        if fi_om is not None and fi_om[0].shape == p.frame_idx.shape:
+            return fi_om
+        return p.frame_idx, p.obs_mask
+
     def _plan_band(self, p):
         """Host-side banding plan + jitted local solver. The compiled solver
         depends only on the band GEOMETRY (W, chunk counts/sizes) — the
         point permutation ext_idx is a traced argument, so re-planning a
         grown problem with the same geometry reuses the compiled program
         (the MVF's periodic global BA re-plans every run)."""
+        if p.frame_idx is getattr(self, "_planned_fi", None):
+            return          # same observation structure object: plan holds
+        self._planned_fi = p.frame_idx
+        fi_plan, om_plan = self._plan_src(p)
         pins = tuple(int(f) for f in self.pin_frames)
         plan = None
         if self.band and self.mesh is not None:
             plan = self._sp.plan_bands_sharded(
-                p.frame_idx, p.obs_mask, self.mesh.devices.size,
+                fi_plan, om_plan, self.mesh.devices.size,
                 self.point_chunk, p.n_frames)
             sig = None if plan is None else (
                 plan.band_width, plan.n_banded_chunks, plan.overflow_chunk,
@@ -250,7 +285,7 @@ class SparseBundleAdjustment:
             return
         if self.band and self.mesh is None:
             plan = self._sp.plan_bands(
-                p.frame_idx, p.obs_mask, self.point_chunk, p.n_frames)
+                fi_plan, om_plan, self.point_chunk, p.n_frames)
         sig = None if plan is None else (
             plan.band_width, plan.n_banded_chunks, plan.overflow_chunk,
             plan.point_chunk, plan.ext_idx.shape)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from surikatoko_tpu.models.ba.problem import BAProblem
@@ -44,11 +45,19 @@ def normalize_scene(p: BAProblem, t1y: float = 1.0, unity_comp_ind: int = 1
                             unity_comp_ind=unity_comp_ind)
 
 
+@jax.jit
+def _t01(cfw_R, cfw_t):
+    R0, T0 = cfw_R[0], cfw_t[0]
+    R1, T1 = cfw_R[1], cfw_t[1]
+    return T0 - R0 @ (R1.T @ T1)
+
+
 def can_normalize(p: BAProblem, unity_comp_ind: int = 1, atol: float = 1e-5) -> bool:
-    R0, T0 = p.cfw_R[0], p.cfw_t[0]
-    R1, T1 = p.cfw_R[1], p.cfw_t[1]
-    T01 = T0 - R0 @ (R1.T @ T1)
-    return bool(jnp.abs(T01[unity_comp_ind]) > atol)
+    # one jitted dispatch + one 3-vector fetch: the eager form is ~7 device
+    # round-trips, which a remote-attached TPU bills at ~25 ms each
+    import numpy as np
+    T01 = np.asarray(_t01(p.cfw_R, p.cfw_t))
+    return bool(abs(T01[unity_comp_ind]) > atol)
 
 
 def revert_normalization(p: BAProblem, ns: NormState) -> BAProblem:

@@ -236,6 +236,10 @@ class MultiViewFactorizer:
     # padded (and pinned) to multiples of ba_frame_bucket -> O(log) compiles
     ba_point_bucket: int = 0             # 0 = pad to mesh granularity only
     ba_frame_bucket: int = 0             # 0 = exact frame count
+    # run each BA's WHOLE LM as one device dispatch (models/ba/lm_device):
+    # on a remote-attached TPU the host-driven loop pays 2 blocking syncs
+    # per damped trial; the mesh-distributed path keeps the host loop
+    ba_device_loop: bool = True
     # state
     cam_cfw_R: list = field(default_factory=list)
     cam_cfw_t: list = field(default_factory=list)
@@ -459,6 +463,11 @@ class MultiViewFactorizer:
         pts = np.stack([self.point_coords[t] for t in tids])
         if pad:
             pts = np.concatenate([pts, np.zeros((pad, 3))])
+        # host-side observation structure for the BA's banding plan (the
+        # plan is pure numpy; planning from the device copies would bulk-
+        # fetch them back through the TPU tunnel — see
+        # SparseBundleAdjustment.set_plan_inputs)
+        self._last_sparse_inputs = (fidx, mask)
         cfw_R = np.stack(self.cam_cfw_R)
         cfw_t = np.stack(self.cam_cfw_t)
         if n_fp > n_f:
@@ -627,7 +636,8 @@ class MultiViewFactorizer:
         if self._window_ba is None or self._window_ba_key != (window,):
             self._window_ba = SparseBundleAdjustment(
                 optimize_intrinsics=False, pin_frames=(0, 1),
-                point_chunk=min(self.ba_point_chunk, point_bucket), band=False)
+                point_chunk=min(self.ba_point_chunk, point_bucket),
+                band=False, device_loop=self.ba_device_loop)
             self._window_ba_key = (window,)
         ba = self._window_ba
         term = TermCriteria(
@@ -781,8 +791,11 @@ class MultiViewFactorizer:
                 ba = SparseBundleAdjustment(
                     optimize_intrinsics=False, pin_frames=pins,
                     mesh=self.ba_mesh, point_chunk=self.ba_point_chunk,
-                    unity_comp_ind=uci)
+                    unity_comp_ind=uci,
+                    device_loop=(self.ba_device_loop
+                                 and self.ba_mesh is None))
                 self._ba_cache[key] = ba
+            ba.set_plan_inputs(*self._last_sparse_inputs)
             ok, p_opt = ba.compute_inplace(p, term)
         else:
             tids, p = self._dense_problem()
