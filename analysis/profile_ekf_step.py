@@ -72,7 +72,9 @@ def main() -> None:
         _ = float(run(init))                    # compile + warmup
         ts = []
         for r in range(3):
-            fresh = (init[0] * (1.0 + 1e-9 * (r + 1)), init[1])
+            # perturbation must exceed f32 eps (~1.19e-7): the tunnel
+            # memoizes identical (executable, args) executions
+            fresh = (init[0] * (1.0 + 1e-6 * (r + 1)), init[1])
             jax.block_until_ready(fresh)
             t0 = time.perf_counter()
             _ = float(run(fresh))
@@ -87,7 +89,7 @@ def main() -> None:
     jax.block_until_ready(st)
     ts = []
     for r in range(3):
-        st2 = state._replace(x=state.x * (1.0 + 1e-9 * (r + 1)))
+        st2 = state._replace(x=state.x * (1.0 + 1e-6 * (r + 1)))
         jax.block_until_ready(st2.x)
         t0 = time.perf_counter()
         st, _, _ = run_full(st2, sc, frames, jax.random.PRNGKey(1))

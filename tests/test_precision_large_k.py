@@ -1,0 +1,54 @@
+"""f32-vs-f64 accuracy pin at the large-K EKF regime (VERDICT round 2,
+weak #2 / next-round #2): the TPU filter runs f32 with conditioning
+mitigations (covar_diag_inflation + delete-unobserved), the reference runs
+clean f64 (rt-config.h:42, davison-mono-slam.cpp) — this test measures both
+on the SAME K=768 imageseq scenario and pins the f32 penalty.
+
+dtype selection must happen before JAX initializes and the suite's conftest
+already enabled x64, so each configuration runs in its own subprocess
+(analysis/precision_large_k.py, the same harness that produced the measured
+120-frame numbers in docs/SCALING.md).
+
+The pin: f32-with-mitigations ATE <= 2x f64 ATE + an absolute floor (at few
+frames both ATEs are small and the ratio alone would be noise-dominated).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.join(os.path.dirname(__file__), "..")
+_SCRIPT = os.path.join(_REPO, "analysis", "precision_large_k.py")
+
+_FRAMES = 48
+
+
+def _run(dtype: str, mitigations: bool) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon_site" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, _SCRIPT, "--dtype", dtype,
+           "--capacity", "768", "--frames", str(_FRAMES)]
+    if mitigations:
+        cmd.append("--mitigations")
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=1800)
+    assert out.returncode == 0, f"precision run failed:\n{out.stderr[-3000:]}"
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_f32_ate_within_2x_of_f64_at_k768():
+    r64 = _run("f64", mitigations=False)
+    r32 = _run("f32", mitigations=True)
+    assert r64["finite"] and r32["finite"]
+    # the filter must actually track (not coast on the motion model)
+    assert r64["matched_med"] > 500 and r32["matched_med"] > 500
+    # the pin: mitigated f32 stays within 2x of clean f64, floored at the
+    # detection-noise scale (0.5 px noise -> ~1e-2 map-unit ATE jitter)
+    assert r32["ate_rmse"] <= 2.0 * r64["ate_rmse"] + 0.02, (r32, r64)
