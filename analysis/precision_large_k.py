@@ -19,6 +19,14 @@ process risks silent promotion of the "f32" run):
   env -u PYTHONPATH JAX_PLATFORMS=cpu python analysis/precision_large_k.py \
       --dtype f32 --capacity 768 --frames 120 --mitigations
 
+``--mode ekf`` drops the imagery (render + NCC template search — whose CPU
+conv path dominates the runtime of a CPU run at 640x480 x K=768 — and whose
+math is dtype-trivial) and drives the same K=768 fused EKF through the
+GT-projecting matcher loop instead: the chained covariance
+downdate/congruence at D=4621 is exactly the computation whose f32 behavior
+is in question. Used by tests/test_precision_large_k.py to keep the pin
+affordable in the suite.
+
 Emits one JSON line: {"dtype", "mitigations", "capacity", "frames",
 "ate_rmse", "matched_med", "finite"}.
 """
@@ -42,6 +50,7 @@ def main() -> int:
     ap.add_argument("--capacity", type=int, default=768)
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--chunk", type=int, default=40)
+    ap.add_argument("--mode", choices=["imageseq", "ekf"], default="imageseq")
     args = ap.parse_args()
 
     import jax
@@ -56,24 +65,42 @@ def main() -> int:
     from surikatoko_tpu.geom.align import aligned_rmse
     from surikatoko_tpu.models.monoslam import make_params, init_state
     from surikatoko_tpu.world.device_runner import (
-        build_imageseq_scenario, init_imageseq, make_imageseq_scan_runner)
+        build_imageseq_scenario, build_oscillating_scenario, init_imageseq,
+        init_with_gt_landmarks, make_imageseq_scan_runner, make_scan_runner)
 
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
     K = args.capacity
-    cam = camera.make_intrinsics((640, 480), (320.0, 240.0), 1.95,
-                                 (0.005, 0.005), dtype=dtype)
+    img_size = (640, 480) if args.mode == "imageseq" else (320, 240)
+    cc = (320.0, 240.0) if args.mode == "imageseq" else (160.0, 120.0)
+    kk = (0.005, 0.005) if args.mode == "imageseq" else (0.01, 0.01)
+    cam = camera.make_intrinsics(img_size, cc, 1.95, kk, dtype=dtype)
     mit = dict(max_undetected_frames=60, covar_diag_inflation=1e-6)
     params = make_params(cam, None, dt=1.0,
                          process_noise_lin_veloc_std=0.075,
                          process_noise_ang_veloc_std=0.01,
                          dtype=dtype, **(mit if args.mitigations else {}))
-    sc = build_imageseq_scenario(capacity=K, dtype=dtype,
-                                 image_size=(640, 480))
-    st = init_state(K, dtype=dtype)
-    st, templates = jax.jit(lambda s: init_imageseq(params, sc, s, 15))(st)
-    # Pallas NCC is a TPU kernel; the XLA conv path is bit-tested against it
-    # (bench ncc_pallas_maxdiff) and runs on CPU
-    run = make_imageseq_scan_runner(params, templ_width=15, use_pallas=False)
+    if args.mode == "imageseq":
+        sc = build_imageseq_scenario(capacity=K, dtype=dtype,
+                                     image_size=(640, 480))
+        st = init_state(K, dtype=dtype)
+        st, templates = jax.jit(lambda s: init_imageseq(params, sc, s, 15))(st)
+        # Pallas NCC is a TPU kernel; the XLA conv path is bit-tested
+        # against it (bench ncc_pallas_maxdiff) and runs on CPU
+        run_img = make_imageseq_scan_runner(params, templ_width=15,
+                                            use_pallas=False)
+        run = lambda st_, fr: run_img(st_, templates, sc, fr)  # noqa: E731
+    else:
+        sc = build_oscillating_scenario(capacity=K, dtype=dtype)
+        st = init_state(K, dtype=dtype)
+        st = jax.jit(lambda s, k: init_with_gt_landmarks(params, sc, s, k))(
+            st, jax.random.PRNGKey(0))
+        run_osc = make_scan_runner(params, update_impl=1)
+
+        def run(st_, fr):
+            st2, errs, pos = run_osc(st_, sc, fr,
+                                     jax.random.PRNGKey(int(fr[0])))
+            n = jnp.full(fr.shape, jnp.sum(st2.lm_active), jnp.int32)
+            return st2, (errs, n, pos)
 
     F = int(sc.gt_cfw_R.shape[0])
     pos_chunks, n_chunks_l = [], []
@@ -82,7 +109,7 @@ def main() -> int:
         n = min(args.chunk, args.frames - done)
         fr = jnp.arange(1 + done, 1 + done + n)
         assert int(fr[-1]) < F, "scenario too short for --frames"
-        st, (err, n_m, pos) = run(st, templates, sc, fr)
+        st, (err, n_m, pos) = run(st, fr)
         pos_chunks.append(pos)
         n_chunks_l.append(n_m)
         done += n

@@ -7,10 +7,15 @@ on the SAME K=768 imageseq scenario and pins the f32 penalty.
 dtype selection must happen before JAX initializes and the suite's conftest
 already enabled x64, so each configuration runs in its own subprocess
 (analysis/precision_large_k.py, the same harness that produced the measured
-120-frame numbers in docs/SCALING.md).
+120-frame imageseq numbers in docs/SCALING.md).
 
-The pin: f32-with-mitigations ATE <= 2x f64 ATE + an absolute floor (at few
-frames both ATEs are small and the ratio alone would be noise-dominated).
+The suite pin uses ``--mode ekf`` (the GT-projecting matcher loop): the
+question under test is the chained f32 covariance congruence at D=4621, and
+the imageseq mode's CPU NCC-conv dominates a CPU run's wall-clock while its
+math is dtype-trivial (the Pallas/XLA NCC parity is pinned separately in
+bench). The pin: f32-with-mitigations ATE <= 2x f64 ATE + an absolute floor
+(over a short horizon both ATEs are small and a bare ratio would be
+noise-dominated).
 """
 
 import json
@@ -23,7 +28,7 @@ import pytest
 _REPO = os.path.join(os.path.dirname(__file__), "..")
 _SCRIPT = os.path.join(_REPO, "analysis", "precision_large_k.py")
 
-_FRAMES = 48
+_FRAMES = 32
 
 
 def _run(dtype: str, mitigations: bool) -> dict:
@@ -32,8 +37,9 @@ def _run(dtype: str, mitigations: bool) -> dict:
         p for p in env.get("PYTHONPATH", "").split(":")
         if p and "axon_site" not in p)
     env["JAX_PLATFORMS"] = "cpu"
-    cmd = [sys.executable, _SCRIPT, "--dtype", dtype,
-           "--capacity", "768", "--frames", str(_FRAMES)]
+    cmd = [sys.executable, _SCRIPT, "--dtype", dtype, "--mode", "ekf",
+           "--capacity", "768", "--frames", str(_FRAMES),
+           "--chunk", str(_FRAMES)]
     if mitigations:
         cmd.append("--mitigations")
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
