@@ -81,7 +81,9 @@ def main() -> None:
 
     ts = []
     for r in range(3):             # median of 3 runs rides out transients
-        cur = st._replace(x=st.x * (1.0 + 1e-9 * (r + 1)))
+        # perturbation above f32 eps: the remote tunnel memoizes identical
+        # (executable, args) executions
+        cur = st._replace(x=st.x * (1.0 + 1e-6 * (r + 1)))
         jax.block_until_ready(cur.x)
         t0 = time.perf_counter()
         for c in range(args.chunks):

@@ -118,6 +118,32 @@ def main() -> None:
     print(f"sum-of-parts model             {per_iter * 1e3:8.2f} ms/iter = "
           f"{1.0 / per_iter:.2f} iters/s", flush=True)
 
+    # ---- the full fused compute_inplace (gauge check + normalize + LM +
+    # revert as ONE dispatch), exactly what demo_mvf_at_scale times ----
+    # unity component: largest cam0->cam1 shift component (the ring world's
+    # shift has no vertical part, so the default y gauge would refuse)
+    R0, T0 = np.asarray(ps.cfw_R[0]), np.asarray(ps.cfw_t[0])
+    R1, T1 = np.asarray(ps.cfw_R[1]), np.asarray(ps.cfw_t[1])
+    uci = int(np.argmax(np.abs(T0 - R0 @ (R1.T @ T1))))
+    ba2 = SparseBundleAdjustment(optimize_intrinsics=False, point_chunk=PC,
+                                 unity_comp_ind=uci, device_loop=True)
+    ba2.set_plan_inputs(ps.frame_idx, ps.obs_mask)
+    t0 = time.time()
+    ok, p_opt = ba2.compute_inplace(ps._replace(points=pts_pert), term)
+    print(f"fused inplace compile+first    {time.time() - t0:8.2f} s "
+          f"({ba2.iterations} iters, {ba2.trials} trials, "
+          f"'{ba2.stop_reason}')", flush=True)
+    ts = []
+    for r in range(3):
+        pr = ps._replace(points=pts_pert * (1.0 + 1e-6 * (r + 1)))
+        t0 = time.time()
+        ok, p_opt = ba2.compute_inplace(pr, term)
+        ts.append(time.time() - t0)
+    t_ip = sorted(ts)[1]
+    print(f"fused inplace 5 iters          {t_ip * 1e3:8.2f} ms "
+          f"({ba2.iterations} iters, {ba2.trials} trials) = "
+          f"{ba2.iterations / t_ip:.2f} iters/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -36,7 +36,7 @@ class TermCriteria:
 
 
 def _run_device_loop(driver, p, term_crit: TermCriteria, blocks_fn, solve_fn,
-                     apply_fn, err_fn, solve_extra=None):
+                     apply_fn, err_fn, solve_extra=None, normalize_cfg=None):
     """Run the whole LM as one compiled program (models/ba/lm_device.py) and
     map its stop code back onto the host driver's (ok, stop_reason,
     iterations) reporting. One device dispatch per BA instead of ~4 calls +
@@ -45,24 +45,47 @@ def _run_device_loop(driver, p, term_crit: TermCriteria, blocks_fn, solve_fn,
     ``solve_extra`` (optional) is a TRACED argument forwarded to solve_fn as
     its 4th parameter — the banded Schur point permutation rides here, so a
     re-planned (grown) problem with unchanged band geometry reuses the
-    compiled program instead of baking the permutation in as a constant."""
+    compiled program instead of baking the permutation in as a constant.
+
+    ``normalize_cfg`` (optional, (t1y, unity_comp_ind, atol)) fuses the
+    SceneNormalizer gauge transform INTO the program: validity check ->
+    normalize -> LM -> revert as one dispatch + one packed fetch, instead of
+    a blocking can_normalize fetch plus separate normalize/revert dispatches
+    per BA call (~2 extra round-trips each on a remote-attached TPU —
+    measured as most of the gap between the 15.6 iters/s one-dispatch LM and
+    the 7.1 iters/s the at-scale MVF demo saw end-to-end). A degenerate
+    gauge comes back untouched with stop code "cannot normalize"."""
     from surikatoko_tpu.models.ba import lm_device
 
     # max_iters rides as a TRACED scalar (only ever compared against the
     # iteration counter): a follow-up run with a different budget — e.g. the
     # final-polish pattern — reuses the compiled program
     key = (term_crit.allowed_reproj_err_rel_change,
-           term_crit.max_hessian_factor, solve_extra is not None)
+           term_crit.max_hessian_factor, solve_extra is not None,
+           normalize_cfg)
     if driver._dev_run is None or driver._dev_key != key:
         def runner(p0, max_iters, *extra):
             sf = (solve_fn if not extra
                   else lambda pp, b, f: solve_fn(pp, b, f, extra[0]))
+            if normalize_cfg is None:
+                p_in, valid, ns = p0, None, None
+            else:
+                t1y, uci, atol = normalize_cfg
+                T01 = p0.cfw_t[0] - p0.cfw_R[0] @ (
+                    p0.cfw_R[1].T @ p0.cfw_t[1])
+                valid = jnp.abs(T01[uci]) > atol
+                p_in, ns = normalize.normalize_scene(
+                    p0, t1y=t1y, unity_comp_ind=uci, min_shift=atol)
             p_out, code, iters, err, trials = lm_device.run_lm_on_device(
-                p0, blocks_fn=blocks_fn, solve_fn=sf,
+                p_in, blocks_fn=blocks_fn, solve_fn=sf,
                 apply_fn=apply_fn, err_fn=err_fn,
                 err_thresh=term_crit.allowed_reproj_err_rel_change,
                 max_factor=term_crit.max_hessian_factor,
-                max_iters=max_iters)
+                max_iters=max_iters, valid=valid)
+            if normalize_cfg is not None:
+                p_rev = normalize.revert_normalization(p_out, ns)
+                p_out = jax.tree.map(
+                    lambda a, b: jnp.where(valid, a, b), p_rev, p0)
             # pack the scalars: ONE device->host fetch instead of four
             # (each fetch is a full round-trip on a remote-attached TPU;
             # the counts are < 2^24 so f32 carries them exactly)
@@ -123,8 +146,28 @@ class BundleAdjustment:
                         term_crit: TermCriteria | None = None
                         ) -> tuple[bool, BAProblem]:
         """Full pipeline: normalize gauge, optimize, revert. Returns
-        (converged, optimized problem in the original gauge)."""
+        (converged, optimized problem in the original gauge).
+
+        With device_loop the gauge check/transform/revert are FUSED into the
+        LM program: one dispatch + one packed fetch per BA call (the
+        host-sequenced form pays a blocking can_normalize fetch plus two
+        extra dispatches — each a full round-trip on a remote-attached
+        TPU)."""
         term_crit = term_crit or TermCriteria()
+        if self.device_loop:
+            pins = tuple(int(f) for f in self.pin_frames)
+            blocks_fn = functools.partial(
+                derivs.compute_blocks, unity_comp_ind=self.unity_comp_ind,
+                optimize_intrinsics=self.optimize_intrinsics,
+                pin_frames=pins)
+            solve_fn = lambda _p, blocks, factor: schur.solve_corrections_schur(  # noqa: E731
+                blocks, factor, unity_comp_ind=self.unity_comp_ind,
+                optimize_intrinsics=self.optimize_intrinsics,
+                pin_frames=pins)
+            return _run_device_loop(
+                self, p, term_crit, blocks_fn, solve_fn,
+                derivs.apply_corrections, reproj_error,
+                normalize_cfg=(self.t1y, self.unity_comp_ind, 1e-5))
         if not normalize.can_normalize(p, self.unity_comp_ind):
             self.stop_reason = "cannot normalize (zero cam0-cam1 shift)"
             return False, p
@@ -334,8 +377,22 @@ class SparseBundleAdjustment:
         """Full pipeline mirroring :meth:`BundleAdjustment.compute_inplace`:
         normalize gauge, optimize, revert. The normalization functions only
         touch points/cfw_R/cfw_t, so they apply to BAProblemSparse
-        unchanged (reference SceneNormalizer, bundle-adj-kanatani.cpp:123)."""
+        unchanged (reference SceneNormalizer, bundle-adj-kanatani.cpp:123).
+        With device_loop the gauge check/transform/revert are fused into the
+        one-dispatch LM program (see BundleAdjustment.compute_inplace)."""
         term_crit = term_crit or TermCriteria()
+        if self.device_loop:
+            self._plan_band(p)
+            pins = tuple(int(f) for f in self.pin_frames)
+            blocks_fn = functools.partial(
+                self._sp.compute_blocks, unity_comp_ind=self.unity_comp_ind,
+                optimize_intrinsics=self.optimize_intrinsics,
+                pin_frames=pins)
+            return _run_device_loop(
+                self, p, term_crit, blocks_fn, self._solve,
+                self._sp.apply_corrections, self._sp.reproj_error,
+                solve_extra=self._band_ext,
+                normalize_cfg=(1.0, self.unity_comp_ind, 1e-5))
         if not normalize.can_normalize(p, self.unity_comp_ind):
             self.stop_reason = "cannot normalize (zero cam0-cam1 shift)"
             return False, p

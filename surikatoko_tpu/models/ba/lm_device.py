@@ -37,6 +37,7 @@ STOP_DTYPE_PRECISION = 2     # "converged at dtype precision"     (ok=True)
 STOP_ERR_LIMIT = 3           # "err converged to limit value"     (ok=False)
 STOP_HESSIAN_OVERFLOW = 4    # "hessian overflow"                 (ok=False)
 STOP_MAX_ITERS = 5           # "max iterations"                   (ok=True)
+STOP_CANNOT_NORMALIZE = 6    # "cannot normalize ..."             (ok=False)
 
 STOP_REASON_STR = {
     STOP_SMALL_REL_CHANGE: "small relative err change",
@@ -44,6 +45,7 @@ STOP_REASON_STR = {
     STOP_ERR_LIMIT: "err converged to limit value",
     STOP_HESSIAN_OVERFLOW: "hessian overflow",
     STOP_MAX_ITERS: "max iterations",
+    STOP_CANNOT_NORMALIZE: "cannot normalize (zero cam0-cam1 shift)",
 }
 STOP_OK = {
     STOP_SMALL_REL_CHANGE: True,
@@ -51,6 +53,7 @@ STOP_OK = {
     STOP_ERR_LIMIT: False,
     STOP_HESSIAN_OVERFLOW: False,
     STOP_MAX_ITERS: True,
+    STOP_CANNOT_NORMALIZE: False,
 }
 
 
@@ -89,12 +92,18 @@ def run_lm_on_device(
     max_iters: int,
     initial_factor: float = 1e-4,
     eps_floor_mult: float = 32.0,
+    valid: jnp.ndarray | None = None,
 ) -> tuple[Any, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (p_final, stop_code, iterations, final_err, trials) where
     ``trials`` counts every damped solve including rejected damping retries
     (``iterations`` counts only accepted steps — on a near-converged problem
     the two diverge, and trials is what wall-clock scales with).
-    Trace-friendly: call under jax.jit (or vmap for batch BA)."""
+    Trace-friendly: call under jax.jit (or vmap for batch BA).
+
+    ``valid`` (optional traced bool) gates the whole loop: when False the
+    LM never runs and the stop code is STOP_CANNOT_NORMALIZE — the fused
+    normalize->LM->revert program (lm._run_device_loop) rides the gauge
+    validity check here instead of a separate blocking host fetch."""
     err0 = err_fn(p0)
     dtype = err0.dtype
     eps_floor = eps_floor_mult * float(jnp.finfo(dtype).eps)
@@ -171,10 +180,14 @@ def run_lm_on_device(
                       factor=jnp.where(accepted, t.factor / 10.0, t.factor),
                       iters=iters, code=code, trials=c.trials + t.trials)
 
+    code0 = jnp.asarray(STOP_RUNNING, jnp.int32)
+    if valid is not None:
+        code0 = jnp.where(valid, code0, STOP_CANNOT_NORMALIZE).astype(
+            jnp.int32)
     c0 = _Outer(p=p0, err=err0,
                 factor=jnp.asarray(initial_factor, dtype),
                 iters=jnp.zeros((), jnp.int32),
-                code=jnp.asarray(STOP_RUNNING, jnp.int32),
+                code=code0,
                 trials=jnp.zeros((), jnp.int32))
     c = jax.lax.while_loop(outer_cond, outer_body, c0)
     return c.p, c.code, c.iters, c.err, c.trials

@@ -26,14 +26,24 @@ class NormState(NamedTuple):
     unity_comp_ind: int      # static
 
 
-def normalize_scene(p: BAProblem, t1y: float = 1.0, unity_comp_ind: int = 1
+def normalize_scene(p: BAProblem, t1y: float = 1.0, unity_comp_ind: int = 1,
+                    min_shift: float | None = None
                     ) -> tuple[BAProblem, NormState]:
+    """``min_shift`` (optional) floors |T01[uc]| so a degenerate gauge
+    (zero cam0-cam1 shift) yields a finite no-op-ish scale instead of inf —
+    used by the fused device program, whose validity gate separately refuses
+    the result (lm._run_device_loop); hosts should keep calling
+    can_normalize."""
     R0, T0 = p.cfw_R[0], p.cfw_t[0]
     # cam0_from_cam1 translation: SE3AFromB(cfw0, cfw1).T = T0 - R0 R1^T T1
     R1, T1 = p.cfw_R[1], p.cfw_t[1]
     T01 = T0 - R0 @ (R1.T @ T1)
     shift_c = T01[unity_comp_ind]
-    scale = jnp.asarray(t1y, p.points.dtype) / jnp.abs(shift_c)
+    shift_abs = jnp.abs(shift_c)
+    if min_shift is not None:
+        shift_abs = jnp.maximum(shift_abs, jnp.asarray(
+            min_shift, p.points.dtype))
+    scale = jnp.asarray(t1y, p.points.dtype) / shift_abs
 
     Rk = p.cfw_R
     Tk = p.cfw_t

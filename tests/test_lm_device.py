@@ -65,6 +65,28 @@ def test_sparse_device_loop_matches_host():
                                rtol=1e-9, atol=1e-18)
 
 
+def test_device_loop_cannot_normalize_matches_host():
+    """Degenerate gauge (zero cam0-cam1 shift in the unity component): the
+    FUSED normalize->LM->revert program must refuse identically to the host
+    path and hand the problem back untouched."""
+    p, _, _ = circle_grid_problem(noise_pnt=0.05)
+    # make cam1 == cam0: the T01 unity component vanishes
+    p = p._replace(cfw_R=p.cfw_R.at[1].set(p.cfw_R[0]),
+                   cfw_t=p.cfw_t.at[1].set(p.cfw_t[0]))
+    term = TermCriteria(allowed_reproj_err_rel_change=1e-14, max_iters=5)
+    host = BundleAdjustment()
+    ok_h, p_h = host.compute_inplace(p, term)
+    dev = BundleAdjustment(device_loop=True)
+    ok_d, p_d = dev.compute_inplace(p, term)
+    assert not ok_h and not ok_d
+    assert host.stop_reason == dev.stop_reason \
+        == "cannot normalize (zero cam0-cam1 shift)"
+    np.testing.assert_allclose(np.asarray(p_d.points), np.asarray(p.points),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(p_d.cfw_t), np.asarray(p.cfw_t),
+                               atol=0)
+
+
 def test_device_loop_vmaps_batch_ba():
     """Batch BA: vmap the compiled LM over independently-corrupted copies of
     the problem — a capability the host driver (and the reference) cannot
