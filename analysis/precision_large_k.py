@@ -97,9 +97,11 @@ def main() -> int:
         run_osc = make_scan_runner(params, update_impl=1)
 
         def run(st_, fr):
-            st2, errs, pos = run_osc(st_, sc, fr,
-                                     jax.random.PRNGKey(int(fr[0])))
-            n = jnp.full(fr.shape, jnp.sum(st2.lm_active), jnp.int32)
+            # n is the PER-FRAME accepted-match count from the runner (the
+            # round-3 advisor flagged the old end-of-chunk active-count
+            # broadcast: it made the suite's tracking guard vacuous)
+            st2, errs, n, pos = run_osc(st_, sc, fr,
+                                        jax.random.PRNGKey(int(fr[0])))
             return st2, (errs, n, pos)
 
     F = int(sc.gt_cfw_R.shape[0])
@@ -124,6 +126,14 @@ def main() -> int:
                          sc.gt_cfw_t[fr_all])
     finite = bool(jnp.all(jnp.isfinite(st.x)) & jnp.all(jnp.isfinite(pos)))
     ate = float(aligned_rmse(pos, gt_pos)) if finite else float("nan")
+    # degradation indicators for the unmitigated-f32 control: WHERE the run
+    # failed (first frame with a non-finite camera position) and how
+    # indefinite the final covariance is (most-negative diagonal entry, a
+    # proxy for the innovation losing positive-definiteness)
+    bad = jnp.logical_not(jnp.all(jnp.isfinite(pos), axis=-1))
+    first_bad = int(jnp.argmax(bad)) if bool(jnp.any(bad)) else -1
+    dg = jnp.diag(st.P)
+    min_diag = float(jnp.min(jnp.where(jnp.isfinite(dg), dg, -jnp.inf)))
     print(json.dumps({
         "dtype": args.dtype,
         "mitigations": bool(args.mitigations),
@@ -132,6 +142,8 @@ def main() -> int:
         "ate_rmse": round(ate, 6),
         "matched_med": int(jnp.median(n_m)),
         "finite": finite,
+        "first_bad_frame": first_bad,
+        "min_diag_P": min_diag,
     }))
     return 0
 

@@ -85,14 +85,14 @@ def main() -> None:
     # full frame (reference point)
     run_full = make_scan_runner(params, update_impl=1)
     frames = jnp.arange(1, 1 + N) % (sc.gt_cfw_R.shape[0] - 1)
-    st, _, _ = run_full(state, sc, frames, jax.random.PRNGKey(1))
+    st, _, _, _ = run_full(state, sc, frames, jax.random.PRNGKey(1))
     jax.block_until_ready(st)
     ts = []
     for r in range(3):
         st2 = state._replace(x=state.x * (1.0 + 1e-6 * (r + 1)))
         jax.block_until_ready(st2.x)
         t0 = time.perf_counter()
-        st, _, _ = run_full(st2, sc, frames, jax.random.PRNGKey(1))
+        st, _, _, _ = run_full(st2, sc, frames, jax.random.PRNGKey(1))
         _ = float(jnp.sum(st.x))
         ts.append(time.perf_counter() - t0)
     dt = sorted(ts)[1] - rtt

@@ -30,8 +30,8 @@ def main() -> None:
     jax.config.update("jax_default_matmul_precision", "highest")
     from jax.scipy.linalg import solve_triangular
 
-    from roofline_schur import _time_compiled
     sys.path.insert(0, os.path.dirname(__file__))
+    from roofline_schur import _time_compiled
 
     K = args.capacity
     D = 13 + 6 * K

@@ -19,7 +19,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_problem(n_points, n_frames, L, noise_pix, seed, dtype):
+def build_problem(n_points, n_frames, L, noise_pix, seed, dtype,
+                  return_host_inputs=False):
     import numpy as np
     import jax.numpy as jnp
     from surikatoko_tpu.models.ba import sparse
@@ -71,6 +72,11 @@ def build_problem(n_points, n_frames, L, noise_pix, seed, dtype):
         K=jnp.broadcast_to(jnp.asarray(K, dtype), (n_frames, 3, 3)),
         obs=jnp.asarray(obs, dtype), frame_idx=jnp.asarray(fidx),
         obs_mask=jnp.asarray(mask), f0=jnp.asarray(1.0, dtype))
+    if return_host_inputs:
+        # host copies of (frame_idx, obs_mask) for
+        # SparseBundleAdjustment.set_plan_inputs — fetching the device
+        # arrays back through a remote TPU tunnel measures in minutes
+        return ps, fidx, mask
     return ps
 
 

@@ -67,13 +67,38 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    import numpy as np
     import jax
-    import jax.numpy as jnp
     if args.f32:
         jax.config.update("jax_default_matmul_precision", "highest")
     else:
         jax.config.update("jax_enable_x64", True)
+
+    import json
+    res = run_at_scale(args)
+    print(json.dumps(res))
+    return 0
+
+
+def make_args(**overrides) -> argparse.Namespace:
+    """Default parameter set of the at-scale run as a namespace —
+    bench.py calls run_at_scale(make_args(points=..., frames=..., f32=True))
+    in-process (a subprocess would open a SECOND client on the remote TPU
+    tunnel)."""
+    base = dict(points=10_000, frames=500, track_len=12, noise_pix=0.5,
+                window_ba_every=5, window=25, global_ba_every=25,
+                global_ba_iters=10, final_polish_iters=40,
+                revisit_frames=12, oracle_pairs=False,
+                pr_ransac_thresh=0.25, ba_iters=5, f32=False, seed=0)
+    base.update(overrides)
+    return argparse.Namespace(**base)
+
+
+def run_at_scale(args: argparse.Namespace) -> dict:
+    """The at-scale incremental MVF pipeline; returns the metrics dict
+    (see module docstring). Caller owns jax precision/x64 configuration."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
 
     from surikatoko_tpu.geom import se3 as se3_mod
     from surikatoko_tpu.geom.align import aligned_rmse
@@ -237,6 +262,8 @@ def main() -> int:
     ate_pre_closure = _traj_ate()
     closed = False
     n_pr_cand = 0
+    n_pairs = 0
+    n_correct = -1           # -1 = oracle pairs (correctness not measured)
     if args.revisit_frames:
         tb = time.time()
         if args.oracle_pairs:
@@ -260,6 +287,7 @@ def main() -> int:
                   f"{head_td.tids.size} head tracks -> {n_pr_cand} "
                   f"appearance candidates -> {len(pairs)} RANSAC-verified "
                   f"pairs ({n_correct} correct)", flush=True)
+        n_pairs = len(pairs)
         closed, n_common = mvf.close_loop_sim3(
             tail_frames=range(n_base, n_frames), head_frames=range(6),
             pairs=pairs, run_ba=False)
@@ -331,19 +359,23 @@ def main() -> int:
           f" one dispatch; compile+first {t_compile:.1f}s)")
     print(f"map={len(tids_m)} points  map_ate_rmse={map_ate:.4f}  "
           f"traj_ate_rmse={traj_ate:.4f}")
-    import json
-    print(json.dumps({
+    return {
         "metric": "mvf_at_scale_ba_iters_per_s", "value": round(iters_per_s, 3),
         "unit": "iters/s",
         "frames_per_s_integration": round(fps, 2),
+        "ba_trials_timed": int(n_trials),
+        "ba_trials_per_s": round(n_trials / max(t_ba, 1e-9), 3),
         "map_ate_rmse": round(map_ate, 5),
         "traj_ate_rmse": round(traj_ate, 5),
         "traj_ate_pre_closure": round(ate_pre_closure, 5),
         "loop_closed": bool(closed),
+        "closure_pairs_total": int(n_pairs),
+        "closure_pairs_correct": int(n_correct),
+        "closure_inliers": int(getattr(mvf, "last_closure_inliers", 0)),
         "closure_oracle_free": bool(args.revisit_frames
                                     and not args.oracle_pairs),
-        "points": len(tids_m), "frames": n_frames}))
-    return 0
+        "localization_failures": int(n_fail),
+        "points": len(tids_m), "frames": n_frames}
 
 
 if __name__ == "__main__":

@@ -30,6 +30,9 @@ inverse-depth substitution) and :639 (PredictEstimVars) — fused, not skipped.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
@@ -44,13 +47,24 @@ from surikatoko_tpu.models.monoslam.state import (
 _N = CAM_STATE_COMPS
 
 
+class EpilogueResult(NamedTuple):
+    x_next: jnp.ndarray   # [D] predicted state for the next frame
+    Cp: jnp.ndarray       # [13,13] = F @ embed(Jq): predict+renorm cam block
+    G: jnp.ndarray        # [13,6] process-noise injector
+    x2: jnp.ndarray       # [D] post-health, post-renorm, PRE-predict state
+    Jq: jnp.ndarray       # [4,4] quaternion-renorm Jacobian
+    F: jnp.ndarray        # [13,13] plain kinematic transition Jacobian
+
+
 def camera_epilogue(params: MonoSlamParams, x1: jnp.ndarray, Kcap: int
-                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                    ) -> EpilogueResult:
     """State-side epilogue of a frame: negative-inverse-depth substitution
     (davison-mono-slam.cpp:1713), quaternion renormalization with its
     covariance Jacobian folded in (:1652), and the kinematic predict (:583).
-    Returns (x_next, Cp, G) where Cp is W's 13x13 camera block (transition
-    Jacobian with the renorm Jacobian folded) and G the noise injector.
+    ``Cp`` is W's 13x13 camera block (transition Jacobian with the renorm
+    Jacobian folded) and ``G`` the noise injector; ``x2``/``Jq``/``F`` expose
+    the pre-predict state and the individual Jacobian factors for callers
+    that splice work between renorm and predict (landmark recruitment).
     Shared by the single-chip fused step and the landmark-sharded one
     (parallel/sharded_ekf.make_sharded_fused_step)."""
     dtype = x1.dtype
@@ -70,7 +84,7 @@ def camera_epilogue(params: MonoSlamParams, x1: jnp.ndarray, Kcap: int
     F, G = predict_mod.camera_transition_jacobians(params, cam13)
     Cp = F.at[:, 3:7].set(F[:, 3:7] @ Jq)               # W's 13x13 block
     x_next = x2.at[:_N].set(new_cam)
-    return x_next, Cp, G
+    return EpilogueResult(x_next, Cp, G, x2, Jq, F)
 
 
 def fused_update_health_predict(
@@ -96,6 +110,19 @@ def fused_update_health_predict(
     [2K,D]@[D,D] matmul per frame (identical numerics: masked rows of A_un
     are exact zeros either way).
     """
+    Kcap = obs_mask.shape[0]
+    x1, B, keep, resid = _fused_update_core(
+        params, x, P, obs, obs_mask, precomputed, deactivate_mask)
+    x_next, Cp, G = camera_epilogue(params, x1, Kcap)[:3]
+    return _fused_covariance_predict(params, x, P, B, keep, x_next, Cp, G,
+                                     resid, x1)
+
+
+def _fused_update_core(params, x, P, obs, obs_mask, precomputed,
+                       deactivate_mask):
+    """Stacked update + keep-mask head of the fused frame step. Returns
+    (x1 post-update state, B whitened gain precursor [2K,D], keep [D]
+    diagonal congruence mask, resid [K,2])."""
     dtype = x.dtype
     Kcap = obs_mask.shape[0]
     r_var = params.measurm_noise_var.astype(dtype)
@@ -134,9 +161,17 @@ def fused_update_health_predict(
         lm_zero = jnp.repeat(deactivate_mask, 6)
         x1 = jnp.where(jnp.concatenate(
             [jnp.zeros((_N,), bool), lm_zero]), 0.0, x1)
-    kc, km = keep[:_N], keep[_N:]
+    return x1, B, keep, resid
 
-    x_next, Cp, G = camera_epilogue(params, x1, Kcap)
+
+def _fused_covariance_predict(params, x, P, B, keep, x_next, Cp, G,
+                              resid, x1):
+    """Shared tail of the fused frame step: the one-write covariance
+    congruence P+ = V P V^T - (B V^T)^T (B V^T) + GQG plus the optional
+    diagonal inflation. Split out so the recruit-fused variant
+    (fused_update_health_recruit_predict) can reuse it verbatim."""
+    dtype = x.dtype
+    kc, km = keep[:_N], keep[_N:]
 
     # --- fused covariance: P+ = V P V^T - (B V^T)^T (B V^T) + GQG ---
     Ac = Cp * kc[None, :]                               # W diag(keep) cam block
@@ -166,3 +201,133 @@ def fused_update_health_predict(
         P_next = P_next.at[d, d].add(jnp.where(dg > 0, infl * keep, 0.0))
 
     return x_next, P_next, resid, x1
+
+
+def assign_free_slots(free_mask: jnp.ndarray, new_valid: jnp.ndarray
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Slot assignment for a batch of recruit candidates: the j-th VALID
+    candidate claims the j-th free slot (lowest index first — the same order
+    add_landmarks' sequential argmax(free) scan produces). Returns
+    (slots [M] int32 with -1 where not assigned, valid [M] bool)."""
+    Kcap = free_mask.shape[0]
+    order = jnp.argsort(jnp.logical_not(free_mask).astype(jnp.int32),
+                        stable=True)                     # free slots first
+    n_free = jnp.sum(free_mask.astype(jnp.int32))
+    rank = jnp.cumsum(new_valid.astype(jnp.int32)) - 1   # rank among valids
+    valid = new_valid & (rank < n_free)
+    slots_raw = order[jnp.clip(rank, 0, Kcap - 1)].astype(jnp.int32)
+    return jnp.where(valid, slots_raw, -1), valid
+
+
+def fused_update_health_recruit_predict(
+    params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
+    obs: jnp.ndarray, obs_mask: jnp.ndarray,
+    new_pix: jnp.ndarray,       # [M,2] recruit candidate first observations
+    new_valid: jnp.ndarray,     # [M] bool
+    free_mask: jnp.ndarray,     # [K] bool: slots recruits may claim (caller
+                                # computes ~active AFTER the delete policy)
+    *, precomputed: tuple | None = None,
+    deactivate_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``fused_update_health_predict`` with per-frame landmark RECRUITMENT
+    spliced in at the reference's point in the pipeline: update -> health ->
+    delete -> recruit -> predict (ProcessFrame davison-mono-slam.cpp:923 ->
+    RecruitNewSalientPoints :1812 -> AddSalientPoint :2597, recruit on the
+    post-update posterior, predict after).
+
+    The naive composition would materialize the posterior covariance and run
+    add_landmarks' M-candidate scan — M+1 extra O(D^2) passes per frame.
+    Here recruitment stays inside the single fused congruence: a new slot's
+    covariance rows are built from just the TOP-7 ROWS of the (post-health,
+    post-renorm) posterior — a [7,D] stripe recovered from P and B without
+    forming the posterior —
+
+        rows7 = E_q diag(keep)[:7] (P[:7,:] - B[:,:7]^T B) diag(keep) E_q^T
+
+    and the predict transform acts on recruited rows in closed form (their
+    camera columns right-multiply F^T; landmark rows are predict-invariant),
+    so the recruited rows/cols are scattered straight into the fused P_next.
+    Candidate-candidate couplings J_ci P77 J_cj^T reproduce exactly what
+    add_landmarks' sequential writes produce. Parity with the sequential
+    pipeline (stacked update -> nonneg clamp -> rho substitution -> renorm ->
+    add_landmarks -> predict) is pinned at 1e-12 f64 by
+    tests/test_recruit_fused.py.
+
+    Returns (x_next, P_next, resid, x_post_update, slots [M] int32 with -1
+    where the candidate was not added). New-slot depth is the configured
+    prior ``sal_pnt_init_inv_dist`` (NOT ground truth — reference
+    GetNewSphericalSalientPointState :2398 semantics).
+    """
+    from surikatoko_tpu.models.monoslam import landmarks as lm_mod
+
+    dtype = x.dtype
+    D = x.shape[0]
+    Kcap = obs_mask.shape[0]
+    M = new_pix.shape[0]
+
+    x1, B, keep, resid = _fused_update_core(
+        params, x, P, obs, obs_mask, precomputed, deactivate_mask)
+    epi = camera_epilogue(params, x1, Kcap)
+    x_next, Cp, G = epi.x_next, epi.Cp, epi.G
+
+    # --- recruit-time covariance stripe: top 7 rows of the posterior after
+    # nonneg clamp (keep) and quaternion renorm (E_q) ---
+    kc = keep[:_N]
+    rows7 = (P[:7, :] - B[:, :7].T @ B) * (kc[:7, None] * keep[None, :])
+    rows7 = rows7.at[3:7, :].set(epi.Jq @ rows7[3:7, :])
+    rows7 = rows7.at[:, 3:7].set(rows7[:, 3:7] @ epi.Jq.T)
+    # exact symmetry of the [7,7] corner (the Jq congruence reassociates the
+    # two triangles differently) so the scattered blocks keep the fused
+    # steps' P == P^T bitwise invariant
+    P77 = 0.5 * (rows7[:, :7] + rows7[:, :7].T)
+    cam_pq = epi.x2[:7]                                 # post-renorm camera
+
+    # --- batched new-landmark linearization (A.58 + A.67-A.79, landmarks.py)
+    rho0 = params.sal_pnt_init_inv_dist.astype(dtype)
+    g = lambda c, p: lm_mod.new_landmark_state(params, c, p, rho0)
+    g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
+
+    def one(pix):
+        y = g(cam_pq, pix)
+        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, rho0)
+        return y, Jc, Jp, Jr
+
+    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(new_pix)  # [M,6],[M,6,7],[M,6,2],[M,6]
+    r_var = params.measurm_noise_var.astype(dtype)
+    rho_var = params.sal_pnt_init_inv_dist_std.astype(dtype) ** 2
+    JcP77 = jnp.einsum("mij,jk->mik", Jc_m, P77)        # [M,6,7]
+    auto_m = (jnp.einsum("mik,mjk->mij", JcP77, Jc_m)
+              + r_var * jnp.einsum("mik,mjk->mij", Jp_m, Jp_m)
+              + rho_var * jnp.einsum("mi,mj->mij", Jr_m, Jr_m))
+    cross_m = jnp.einsum("mij,jd->mid", Jc_m, rows7)    # [M,6,D]
+    # candidate-candidate couplings (what sequential adds see of each other)
+    newnew = jnp.einsum("mik,njk->minj", JcP77, Jc_m)   # [M,6,M,6]
+    eye_m = jnp.eye(M, dtype=bool)
+    blocks = jnp.where(eye_m[:, None, :, None],
+                       auto_m[:, :, None, :], newnew)
+
+    # --- slot assignment (first-free order, add_landmarks parity) ---
+    slots, valid = assign_free_slots(free_mask, new_valid)
+    v6 = jnp.repeat(valid, 6)
+    offs = _N + jnp.where(valid, slots, 0) * 6
+    idx = (offs[:, None] + jnp.arange(6)[None, :]).reshape(-1)   # [6M]
+    idx_safe = jnp.where(v6, idx, D)        # out-of-bounds -> scatter drops
+
+    # --- assemble recruited rows, predict-transformed ---
+    Rfull = cross_m.reshape(6 * M, D)
+    vvT = valid[:, None, None, None] & valid[None, None, :, None]
+    colvals = jnp.where(vvT, blocks, 0.0).reshape(6 * M, 6 * M)
+    colvals = 0.5 * (colvals + colvals.T)       # bitwise P == P^T invariant
+    Rfull = Rfull.at[:, idx_safe].set(colvals, mode="drop")
+    # predict: Delta F_emb^T — camera columns right-multiply F^T (landmark
+    # rows themselves are identity under predict)
+    Rt = Rfull.at[:, :_N].set(Rfull[:, :_N] @ epi.F.T)
+
+    # --- base fused covariance, then scatter the recruited rows/cols ---
+    x_next, P_next, resid, x1 = _fused_covariance_predict(
+        params, x, P, B, keep, x_next, Cp, G, resid, x1)
+    P_next = P_next.at[idx_safe, :].set(Rt, mode="drop")
+    P_next = P_next.at[:, idx_safe].set(Rt.T, mode="drop")
+    x_next = x_next.at[idx_safe].set(y_m.reshape(6 * M), mode="drop")
+
+    return x_next, P_next, resid, x1, slots

@@ -246,6 +246,7 @@ class MultiViewFactorizer:
     point_coords: dict = field(default_factory=dict)   # track_id -> xyz
     ba_runs: int = field(default=0)
     last_ba_sparse: bool = field(default=False)
+    last_closure_inliers: int = field(default=0)
     _ba_points: set = field(default_factory=set)   # tids refined by BA
     _window_ba: object = field(default=None)
     _window_ba_key: tuple = field(default=None)
@@ -673,23 +674,28 @@ class MultiViewFactorizer:
         SE(3) graphs cannot absorb the SCALE drift a monocular chain
         accumulates — Strasdat RSS'10; the reference has no closure at all).
 
-        The closure measurement is the Umeyama similarity between two
-        estimates of the same physical points: their TAIL-side map
-        positions (drifted) vs their HEAD-side positions (early scale).
-        ``pairs`` = [(tail_tid, head_tid)] supplies the correspondence —
-        re-detected tracks at a revisit matched to the original tracks by
-        a place-recognition oracle (the same GT-assisted stand-in the
-        pose-graph tests use; a real system would plug a loop detector in
-        here). Without ``pairs``, seam tracks observed in both frame sets
-        are used, with the head-side positions re-triangulated from the
-        head frames only.
+        The closure measurement is the similarity between two estimates of
+        the same physical points: their TAIL-side map positions (drifted)
+        vs their HEAD-side positions (early scale). ``pairs`` =
+        [(tail_tid, head_tid)] supplies the correspondence — re-detected
+        tracks at a revisit matched to the original tracks by appearance
+        (steered-BRIEF place recognition + similarity RANSAC,
+        vision/place_recognition.py). Appearance matching carries a
+        few-percent gross-outlier rate (measured 3/45 wrong pairs on the
+        10k-frame run), so the fit is LMedS-robust with MAD-gated inlier
+        refits (geom/align.umeyama_similarity_robust) rather than plain
+        least squares; the surviving inlier count lands in
+        ``self.last_closure_inliers``. Without ``pairs``, seam tracks
+        observed in both frame sets are used, with the head-side positions
+        re-triangulated from the head frames only.
 
         The similarity becomes Sim(3) closure edges; odometry edges come
         from the current consecutive poses (rel scale 1). After optimizing,
         the whole map is re-triangulated under the corrected poses and
         (optionally) a global BA with the seam frames pinned re-polishes.
         Returns (ok, n_common)."""
-        from surikatoko_tpu.geom.align import umeyama_similarity
+        from surikatoko_tpu.geom.align import (
+            umeyama_similarity, umeyama_similarity_robust)
         from surikatoko_tpu.models.posegraph import (
             make_sim3_graph, optimize_sim3_graph, sim3_compose, sim3_inverse)
 
@@ -721,7 +727,15 @@ class MultiViewFactorizer:
             A = np.stack([self.point_coords[t] for t in common])   # drifted
             B = np.stack([tri[t] for t in common])                 # early
             n_meas = len(common)
-        s_u, R_u, t_u = umeyama_similarity(jnp.asarray(A), jnp.asarray(B))
+        if n_meas >= 6:
+            # enough pairs for a LMedS consensus: outlier pairs from the
+            # appearance matcher must not move the closure transform
+            s_u, R_u, t_u, inl = umeyama_similarity_robust(
+                jnp.asarray(A), jnp.asarray(B))
+            self.last_closure_inliers = int(np.sum(np.asarray(inl)))
+        else:
+            s_u, R_u, t_u = umeyama_similarity(jnp.asarray(A), jnp.asarray(B))
+            self.last_closure_inliers = n_meas
         U = (float(s_u), np.asarray(R_u), np.asarray(t_u))
 
         n = self.frames_count()

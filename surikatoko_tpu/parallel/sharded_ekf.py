@@ -92,28 +92,42 @@ def _local_update_kernel(params: MonoSlamParams, K: int,
 
 
 def _local_fused_kernel(params: MonoSlamParams, K: int,
-                        x, P_cam, P_lm, lms, obs, obs_mask):
+                        x, P_cam, P_lm, lms, obs, obs_mask,
+                        precomputed=None, deactivate_loc=None):
     """shard_map body for the FUSED frame (update + health + predict as one
     covariance congruence, models/monoslam/fused_step.py). Same distributed
     structure as _local_update_kernel — one all_gather of the gain precursor
     — plus a tiny all_gather of the local covariance diagonals for the
     nonneg-variance keep mask. The V P V^T congruence is row-local: each
     device transforms its own landmark rows (columns hit by the replicated
-    13x13 camera block Ac and the replicated keep mask)."""
+    13x13 camera block Ac and the replicated keep mask).
+
+    ``precomputed`` optionally carries (h_loc, Hcam_un, Hlm_un, A_un) — the
+    UNMASKED local perception products the sharded imageseq loop already
+    built for the NCC search-ellipse prediction (the sharded twin of the
+    single-device precomputed path); masking is an exact row scaling.
+    ``deactivate_loc`` ([L] bool) folds the delete-unobserved policy into
+    the keep congruence, like the single-device deactivate_mask."""
     dtype = x.dtype
     D = x.shape[0]
     L = lms.shape[0]
     cam13 = x[:_N]
     r_var = params.measurm_noise_var.astype(dtype)
 
-    h_loc, Hcam_loc, Hlm_loc = measure.batched_jacobians(params, cam13, lms)
     m = obs_mask[:, None, None].astype(dtype)
-    Hcam_loc = Hcam_loc * m
-    Hlm_loc = Hlm_loc * m
+    if precomputed is None:
+        h_loc, Hcam_loc, Hlm_loc = measure.batched_jacobians(
+            params, cam13, lms)
+        Hcam_loc = Hcam_loc * m
+        Hlm_loc = Hlm_loc * m
+        A_loc = (jnp.einsum("kij,jd->kid", Hcam_loc, P_cam)
+                 + jnp.einsum("kij,kjd->kid", Hlm_loc, P_lm))
+    else:
+        h_loc, Hcam_un, Hlm_un, A_un = precomputed
+        Hcam_loc = Hcam_un * m
+        Hlm_loc = Hlm_un * m
+        A_loc = A_un * m
     resid_loc = (obs - h_loc) * obs_mask[:, None].astype(dtype)
-
-    A_loc = (jnp.einsum("kij,jd->kid", Hcam_loc, P_cam)
-             + jnp.einsum("kij,kjd->kid", Hlm_loc, P_lm))
 
     Hcam_all = jax.lax.all_gather(Hcam_loc, "lm", tiled=True)   # [K,2,13]
     Hlm_all = jax.lax.all_gather(Hlm_loc, "lm", tiled=True)     # [K,2,6]
@@ -140,10 +154,17 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
     diag_cam = jnp.diagonal(P_cam[:, :_N])
     keep = ((jnp.concatenate([diag_cam, diag_lm])
              - jnp.sum(B * B, axis=0)) >= 0).astype(dtype)
+    if deactivate_loc is not None:
+        drop_all = jax.lax.all_gather(deactivate_loc, "lm", tiled=True)
+        keep = keep.at[_N:].mul(
+            jnp.repeat(jnp.logical_not(drop_all), 6).astype(dtype))
+        lm_zero = jnp.repeat(drop_all, 6)
+        x1 = jnp.where(jnp.concatenate(
+            [jnp.zeros((_N,), bool), lm_zero]), 0.0, x1)
     kc, km = keep[:_N], keep[_N:]
 
     from surikatoko_tpu.models.monoslam.fused_step import camera_epilogue
-    x_next, Cp, G = camera_epilogue(params, x1, K)
+    x_next, Cp, G = camera_epilogue(params, x1, K)[:3]
 
     # fused covariance P+ = V P V^T - (B V^T)^T (B V^T) + GQG (replicated
     # camera stripe; landmark rows local)

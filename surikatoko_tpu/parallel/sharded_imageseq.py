@@ -1,0 +1,190 @@
+"""Landmark-sharded FULLY-ON-DEVICE imageseq closed loop: the flagship
+perception pipeline (render -> ellipse-gated NCC template search -> fused
+EKF update/health/predict) distributed over a device mesh — the multi-chip
+twin of world/device_runner.make_imageseq_scan_runner (VERDICT r3 item 5).
+
+Sharding (axis "lm", L = K / n_dev slots per device):
+
+  render      each device splats ITS landmarks ([H,L]@[L,W] partial matmul),
+              one psum("lm") assembles the frame — the render's MXU work
+              distributes with the landmarks
+  ellipse     per-slot 2x2 innovation S_k = (H P H^T)_kk + R is LOCAL:
+              A_k = H_k P needs only the replicated camera stripe + own
+              covariance rows, and (H P H^T)_kk = A_k H_k^T touches only
+              slot k's columns — no collective
+  NCC search  embarrassingly parallel over slots: local predicted centers,
+              local templates, replicated frame
+  delete      local unobserved counters; the drop mask folds into the keep
+              congruence via one tiny all_gather
+  EKF         the sharded fused congruence (parallel/sharded_ekf
+              _local_fused_kernel) REUSING the unmasked A rows computed for
+              the ellipse — identical collective budget as the plain
+              sharded fused step: one all_gather of the gain precursor
+
+The whole multi-frame run is ONE shard_map around a lax.scan, so nothing
+crosses the host between frames. Exact-parity with the single-device runner
+(f64, 8 virtual CPU devices) is pinned by tests/test_parallel_imageseq.py;
+the driver's dryrun_multichip executes it on the virtual mesh every round.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from surikatoko_tpu.geom import camera as cam_mod
+from surikatoko_tpu.models.monoslam import measure
+from surikatoko_tpu.models.monoslam.state import CAM_STATE_COMPS, MonoSlamParams
+from surikatoko_tpu.parallel.sharded_ekf import _local_fused_kernel
+
+_N = CAM_STATE_COMPS
+
+
+def _render_local(params: MonoSlamParams, background, splat_amp, splat_sigma,
+                  R, t, pts_loc):
+    """Local partial render: this device's splats only (device_runner.
+    render_frame's separable-splat contraction over the local slots).
+    Returns the [H,W] partial sum to psum over "lm"."""
+    H, W = background.shape
+    dtype = background.dtype
+    xc = pts_loc @ R.T + t
+    dist = params.dist if params.enable_distortion else None
+    pix = cam_mod.project_camera_point(params.cam, dist, xc)       # [L,2]
+    vis = (xc[:, 2] > 1e-6) & jnp.all(jnp.isfinite(pix), axis=-1)
+    pix = jnp.where(jnp.isfinite(pix), pix, -1e6)
+    inv2s2 = 1.0 / (2.0 * splat_sigma * splat_sigma)
+    xs = jnp.arange(W, dtype=dtype)
+    ys = jnp.arange(H, dtype=dtype)
+    ex = jnp.exp(-(xs[None, :] - pix[:, 0:1]) ** 2 * inv2s2)       # [L,W]
+    ey = jnp.exp(-(ys[None, :] - pix[:, 1:2]) ** 2 * inv2s2)       # [L,H]
+    a = splat_amp * vis.astype(dtype)
+    return (ey * a[:, None]).T @ ex                                # [H,W]
+
+
+def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
+                                 mesh: Mesh, *, templ_width: int = 15,
+                                 search_radius: int = 7,
+                                 min_corr_coeff: float = 0.6,
+                                 chi2_gate: float = 5.99146,
+                                 use_pallas: bool = False):
+    """Returns a jitted (x, P, templates [K,T,T], lm_active [K],
+    lm_unobserved [K], sc: ImageSeqDeviceScenario, frames [T]) ->
+    (x, P, lm_active, lm_unobserved, (err [T], n_matched [T], cam_pos [T,3]))
+    running the full imageseq closed loop landmark-sharded over ``mesh``'s
+    "lm" axis. Scenario gt_points must have exactly ``capacity`` rows
+    (slot k <-> splat k, as in device_runner.init_imageseq)."""
+    from surikatoko_tpu.ops.ncc import ncc_search
+
+    n_dev = mesh.devices.size
+    assert capacity % n_dev == 0, (capacity, n_dev)
+    L = capacity // n_dev
+
+    def kernel(gt_R, gt_t, background, splat_amp, splat_sigma, pts_loc,
+               x, P_cam, P_lm, templates_loc, active_loc, unobs_loc, frames):
+        dtype = x.dtype
+        D = x.shape[0]
+        dev = jax.lax.axis_index("lm")
+        col0 = jnp.asarray(_N, jnp.int32) + dev.astype(jnp.int32) * (L * 6)
+        r_var = params.measurm_noise_var.astype(dtype)
+
+        def frame_body(carry, f):
+            x, P_cam, P_lm, active_loc, unobs_loc = carry
+
+            # ---- distributed render: one psum assembles the frame ----
+            part = _render_local(params, background, splat_amp, splat_sigma,
+                                 gt_R[f], gt_t[f], pts_loc)
+            img = jnp.clip(background + jax.lax.psum(part, "lm"),
+                           0.0, 255.0)
+
+            # ---- local perception products (h, Jacobians, A rows) ----
+            lms_loc = jax.lax.dynamic_slice(
+                x, (col0,), (L * 6,)).reshape(L, 6)
+            h_loc, Hcam_un, Hlm_un = measure.batched_jacobians(
+                params, x[:_N], lms_loc)
+            row_ok = (jnp.all(jnp.isfinite(h_loc), axis=-1)
+                      & jnp.all(jnp.isfinite(Hcam_un.reshape(L, -1)), axis=-1)
+                      & jnp.all(jnp.isfinite(Hlm_un.reshape(L, -1)), axis=-1))
+            h_loc = jnp.where(row_ok[:, None], h_loc, 0.0)
+            Hcam_un = jnp.where(row_ok[:, None, None], Hcam_un, 0.0)
+            Hlm_un = jnp.where(row_ok[:, None, None], Hlm_un, 0.0)
+            A_un = (jnp.einsum("kij,jd->kid", Hcam_un, P_cam)
+                    + jnp.einsum("kij,kjd->kid", Hlm_un, P_lm))  # [L,2,D]
+
+            # ---- per-slot 2x2 innovation (search ellipse): LOCAL —
+            # (H P H^T)_kk touches the camera stripe + slot k's own cols ----
+            z = jnp.zeros((), jnp.int32)
+            A_own = jax.lax.dynamic_slice(
+                A_un, (z, z, col0), (L, 2, L * 6)).reshape(L, 2, L, 6)
+            S2 = (jnp.einsum("kid,kjd->kij", A_un[:, :, :_N], Hcam_un)
+                  + jnp.einsum("kikj,klj->kil", A_own, Hlm_un)
+                  + r_var * jnp.eye(2, dtype=dtype))
+            det = S2[:, 0, 0] * S2[:, 1, 1] - S2[:, 0, 1] * S2[:, 1, 0]
+            det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+            sigma_inv = (jnp.stack([
+                jnp.stack([S2[:, 1, 1], -S2[:, 0, 1]], -1),
+                jnp.stack([-S2[:, 1, 0], S2[:, 0, 0]], -1)], -2)
+                / det[:, None, None])
+
+            # ---- NCC template search over LOCAL slots ----
+            res = ncc_search(
+                img, h_loc, templates_loc, active_loc,
+                search_radius=search_radius,
+                min_corr_coeff=min_corr_coeff,
+                sigma_inv=sigma_inv, chi2_gate=chi2_gate,
+                use_pallas=use_pallas)
+            obs_loc = res.best_center
+            mask_loc = res.matched & active_loc & row_ok
+
+            # ---- delete-unobserved policy (local counters) ----
+            unobs_loc = jnp.where(mask_loc, 0, unobs_loc + 1)
+            drop_loc = ((params.max_undetected_frames > 0)
+                        & (unobs_loc > params.max_undetected_frames)
+                        & active_loc)
+            active_loc = active_loc & ~drop_loc
+
+            # ---- sharded fused update + health + predict, REUSING the
+            # perception A rows (one all_gather of the gain precursor) ----
+            x_next, P_cam_new, P_lm_new, resid_loc, x1 = _local_fused_kernel(
+                params, capacity, x, P_cam, P_lm, lms_loc, obs_loc, mask_loc,
+                precomputed=(h_loc, Hcam_un, Hlm_un, A_un),
+                deactivate_loc=drop_loc)
+
+            n = jax.lax.psum(jnp.sum(mask_loc.astype(jnp.int32)), "lm")
+            err = (jax.lax.psum(
+                jnp.sum(jnp.linalg.norm(resid_loc, axis=-1)), "lm")
+                / jnp.maximum(n, 1))
+            carry = (x_next, P_cam_new, P_lm_new, active_loc, unobs_loc)
+            return carry, (err, n, x1[:3])
+
+        carry0 = (x, P_cam, P_lm, active_loc, unobs_loc)
+        (x, P_cam, P_lm, active_loc, unobs_loc), outs = jax.lax.scan(
+            frame_body, carry0, frames)
+        return x, P_cam, P_lm, active_loc, unobs_loc, outs
+
+    smapped = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("lm"),
+                  P(), P(), P("lm"), P("lm"), P("lm"), P("lm"), P()),
+        out_specs=(P(), P(), P("lm"), P("lm"), P("lm"),
+                   (P(), P(), P())),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(x, Pmat, templates, lm_active, lm_unobserved, sc, frames):
+        D = x.shape[0]
+        P_cam = Pmat[:_N, :]
+        P_lm = Pmat[_N:, :].reshape(capacity, 6, D)
+        x, P_cam, P_lm, active, unobs, outs = smapped(
+            sc.gt_cfw_R, sc.gt_cfw_t, sc.background, sc.splat_amp,
+            sc.splat_sigma, sc.gt_points,
+            x, P_cam, P_lm, templates, lm_active, lm_unobserved, frames)
+        P_new = jnp.concatenate([P_cam, P_lm.reshape(-1, D)], axis=0)
+        return x, P_new, active, unobs, outs
+
+    return run

@@ -65,7 +65,8 @@ def init_with_gt_landmarks(params: MonoSlamParams, sc: DeviceScenario,
 
 def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
     """Returns jitted (state, scenario, frame_indices [T], key) ->
-    (state, per-frame residual norms [T]): T tracked frames as one scan."""
+    (state, per-frame residual norms [T], per-frame matched counts [T],
+    per-frame camera positions [T,3]): T tracked frames as one scan."""
 
     def frame_body(sc: DeviceScenario, carry, f_and_noise):
         state, = carry
@@ -80,8 +81,17 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
                     params, state.x, state.P, obs, obs_mask))
             state = state._replace(x=x_next, P=P_next)
         else:
-            x, P, resid, _, _ = update_mod.one_point_ransac_update(
-                params, state.x, state.P, obs, obs_mask)
+            # impls 2-4 (reference davison-mono-slam.cpp:900-915): sequential
+            # per-observation / per-component EKF and 1-point RANSAC
+            if update_impl == 2:
+                x, P, resid = update_mod.one_obs_update(
+                    params, state.x, state.P, obs, obs_mask)
+            elif update_impl == 3:
+                x, P, resid = update_mod.one_component_update(
+                    params, state.x, state.P, obs, obs_mask)
+            else:
+                x, P, resid, _, _ = update_mod.one_point_ransac_update(
+                    params, state.x, state.P, obs, obs_mask)
             P = health_mod.ensure_nonneg_variance(P)
             if params.sal_pnt_repres != 1:  # rho substitution: spherical-only
                 x, _ = health_mod.substitute_negative_inv_rho(
@@ -91,10 +101,10 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
             state = state._replace(x=x, P=P)
             # quat renorm + predict fused into one camera-stripe pass over P
             state = predict_mod.normalize_and_predict(params, state)
-        err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(
-            jnp.sum(obs_mask), 1)
+        n = jnp.sum(obs_mask.astype(jnp.int32))
+        err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(n, 1)
         cam_pos = x_upd[:3]
-        return (state,), (err, cam_pos)
+        return (state,), (err, n, cam_pos)
 
     @jax.jit
     def run(state: MonoSlamState, sc: DeviceScenario,
@@ -105,9 +115,9 @@ def make_scan_runner(params: MonoSlamParams, update_impl: int = 1):
         K = sc.gt_points.shape[0]
         noise = sc.noise_std * jax.random.normal(
             key, (frames.shape[0], K, 2), sc.gt_points.dtype)
-        (state,), (errs, cam_pos) = jax.lax.scan(
+        (state,), (errs, nmatch, cam_pos) = jax.lax.scan(
             functools.partial(frame_body, sc), (state,), (frames, noise))
-        return state, errs, cam_pos
+        return state, errs, nmatch, cam_pos
 
     return run
 
@@ -166,10 +176,17 @@ def _gather_templates(image: jnp.ndarray, centers: jnp.ndarray, T: int
 
 
 def init_imageseq(params: MonoSlamParams, sc: ImageSeqDeviceScenario,
-                  state: MonoSlamState, templ_width: int
+                  state: MonoSlamState, templ_width: int,
+                  max_bootstrap: int | None = None
                   ) -> tuple[MonoSlamState, jnp.ndarray]:
-    """Bootstrap from the rendered frame 0: recruit every visible GT point
-    (GT inverse depth) and capture its [T,T] template from the image."""
+    """Bootstrap from the rendered frame 0: recruit visible GT points
+    (GT inverse depth) and capture each one's [T,T] template from the image.
+
+    ``max_bootstrap`` caps how many points are claimed (for churn scenarios
+    where the world holds more splats than the filter has slots and the
+    recruit loop acquires the rest on its own, with PRIOR depth). Templates
+    are scattered by ASSIGNED SLOT, so the mapping stays correct even when
+    some points are invisible or unclaimed."""
     img0 = render_frame(params, sc, jnp.asarray(0))
     R = sc.gt_cfw_R[0]
     t = sc.gt_cfw_t[0]
@@ -179,9 +196,15 @@ def init_imageseq(params: MonoSlamParams, sc: ImageSeqDeviceScenario,
     H, W = img0.shape
     vis = ((xc0[:, 2] > 1e-6) & (pix[:, 0] >= 0) & (pix[:, 0] < W)
            & (pix[:, 1] >= 0) & (pix[:, 1] < H))
+    if max_bootstrap is not None:
+        vis = jnp.logical_and(vis, jnp.cumsum(vis) <= max_bootstrap)
     rho = 1.0 / jnp.maximum(jnp.linalg.norm(xc0, axis=-1), 1e-9)
-    state, _ = lm_mod.add_landmarks(params, state, pix, vis, rho)
-    templates = _gather_templates(img0, pix, templ_width)
+    state, slots = lm_mod.add_landmarks(params, state, pix, vis, rho)
+    patches = _gather_templates(img0, pix, templ_width)
+    templates = jnp.zeros((state.capacity, templ_width, templ_width),
+                          img0.dtype)
+    slot_safe = jnp.where(slots >= 0, slots, state.capacity)
+    templates = templates.at[slot_safe].set(patches, mode="drop")
     return predict_mod.predict(params, state), templates
 
 
@@ -190,19 +213,45 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
                               min_corr_coeff: float = 0.6,
                               chi2_gate: float = 5.99146,
                               use_pallas: bool = True,
-                              update_impl: int = 1):
+                              update_impl: int = 1,
+                              recruit: bool = False,
+                              recruit_max: int = 8,
+                              detector_corners: int = 24,
+                              detector_quality: float = 0.05,
+                              detector_nms_radius: int = 5,
+                              recruit_min_dist: float = 14.0,
+                              target_active: int | None = None):
     """Fully on-device real-perception closed loop: render -> ellipse-gated
     NCC template search (Pallas kernel) -> EKF update -> predict, one lax.scan
     over frames. The device analog of the reference's imageseq demo
     (ImageTemplCornersMatcher + ProcessFrame), with zero host round-trips.
 
-    Returns jitted (state, templates, sc, frames [T]) ->
-    (state, per-frame (err, n_matched, cam_pos))."""
+    ``recruit=True`` closes the landmark LIFECYCLE on device: every frame a
+    Shi-Tomasi pass over the rendered image proposes corners, candidates near
+    tracked slots are suppressed (reference FilterOutClosest,
+    demo-davison-mono-slam.cpp:828), up to ``recruit_max`` claim freed slots
+    with PRIOR (non-GT) inverse depth through the fused recruit congruence
+    (fused_step.fused_update_health_recruit_predict — ProcessFrame :923 ->
+    RecruitNewSalientPoints :1812 -> AddSalientPoint :2597), and their [T,T]
+    templates are cut from the live frame. With the delete-unobserved policy
+    this runs steady-state add+delete churn, like the reference hot path.
+    ``target_active`` throttles recruitment to keep the active count near a
+    setpoint (None = refill whenever slots are free). Requires
+    update_impl=1 (the fused path; impls 2-4 recruit host-side via
+    MonoSlamFilter.process_frame).
+
+    Returns jitted (state, templates, sc, frames [T]) -> (state, templates,
+    per-frame (err, n_matched, cam_pos, n_recruited, n_active)); without
+    recruit, templates pass through unchanged."""
     from surikatoko_tpu.models.monoslam import measure
     from surikatoko_tpu.ops.ncc import ncc_search
+    from surikatoko_tpu.vision import features
 
-    def frame_body(sc: ImageSeqDeviceScenario, templates, carry, f):
-        state, = carry
+    if recruit and update_impl != 1:
+        raise ValueError("on-device recruitment requires update_impl=1")
+
+    def frame_body(sc: ImageSeqDeviceScenario, carry, f):
+        state, templates = carry
         img = render_frame(params, sc, f)
 
         # predicted projections + 2x2 innovation covariance (search ellipse,
@@ -254,6 +303,48 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
         state = state._replace(lm_unobserved=unobs,
                                lm_active=state.lm_active & ~drop)
 
+        if recruit:
+            # ---- device-side recruitment (the reference's per-frame
+            # RecruitNewSalientPoints): Shi-Tomasi over the rendered frame,
+            # spatial suppression vs tracked slots, claim freed capacity with
+            # PRIOR inverse depth, cut templates from the live image ----
+            active_after = state.lm_active
+            cand_xy, cand_ok = features.detect_corners(
+                img, max_corners=detector_corners,
+                nms_radius=detector_nms_radius, border=templ_width,
+                quality_level=detector_quality)
+            cur_pos = jnp.where(res.matched[:, None], obs, h)
+            cand_ok = features.filter_out_closest(
+                cand_xy, cand_ok, cur_pos, active_after, recruit_min_dist)
+            sel = jnp.argsort(jnp.logical_not(cand_ok).astype(jnp.int32),
+                              stable=True)[:recruit_max]
+            new_pix = cand_xy[sel].astype(state.x.dtype)
+            new_valid = cand_ok[sel]
+            if target_active is not None:
+                n_act = jnp.sum(active_after.astype(jnp.int32))
+                budget = jnp.clip(target_active - n_act, 0, recruit_max)
+                new_valid = jnp.logical_and(
+                    new_valid, jnp.arange(recruit_max) < budget)
+            x_next, P_next, resid, x_upd, slots = (
+                fused_mod.fused_update_health_recruit_predict(
+                    params, state.x, state.P, obs, obs_mask,
+                    new_pix, new_valid, jnp.logical_not(active_after),
+                    precomputed=(h, A_un, T_un), deactivate_mask=drop))
+            slot_safe = jnp.where(slots >= 0, slots, Kcap)
+            active = active_after.at[slot_safe].set(True, mode="drop")
+            unobs2 = state.lm_unobserved.at[slot_safe].set(0, mode="drop")
+            gen = state.lm_generation.at[slot_safe].add(1, mode="drop")
+            tmpl_new = _gather_templates(img, new_pix, templ_width)
+            templates = templates.at[slot_safe].set(
+                tmpl_new.astype(templates.dtype), mode="drop")
+            state = state._replace(x=x_next, P=P_next, lm_active=active,
+                                   lm_unobserved=unobs2, lm_generation=gen)
+            n = jnp.sum(obs_mask.astype(jnp.int32))
+            err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(n, 1)
+            n_rec = jnp.sum((slots >= 0).astype(jnp.int32))
+            n_active = jnp.sum(active.astype(jnp.int32))
+            return (state, templates), (err, n, x_upd[:3], n_rec, n_active)
+
         if update_impl == 1:
             x_next, P_next, resid, x_upd = (
                 fused_mod.fused_update_health_predict(
@@ -261,8 +352,16 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
                     precomputed=(h, A_un, T_un), deactivate_mask=drop))
             state = state._replace(x=x_next, P=P_next)
         else:
-            x, P, resid, _, _ = update_mod.one_point_ransac_update(
-                params, state.x, state.P, obs, obs_mask)
+            # impls 2-4 (reference davison-mono-slam.cpp:900-915)
+            if update_impl == 2:
+                x, P, resid = update_mod.one_obs_update(
+                    params, state.x, state.P, obs, obs_mask)
+            elif update_impl == 3:
+                x, P, resid = update_mod.one_component_update(
+                    params, state.x, state.P, obs, obs_mask)
+            else:
+                x, P, resid, _, _ = update_mod.one_point_ransac_update(
+                    params, state.x, state.P, obs, obs_mask)
             P = health_mod.ensure_nonneg_variance(P)
             if params.sal_pnt_repres != 1:
                 x, _ = health_mod.substitute_negative_inv_rho(
@@ -273,13 +372,15 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
             state = predict_mod.normalize_and_predict(params, state)
         n = jnp.sum(obs_mask.astype(jnp.int32))
         err = jnp.sum(jnp.linalg.norm(resid, axis=-1)) / jnp.maximum(n, 1)
-        return (state,), (err, n, x_upd[:3])
+        return (state, templates), (err, n, x_upd[:3])
 
     @jax.jit
     def run(state: MonoSlamState, templates, sc: ImageSeqDeviceScenario,
             frames: jnp.ndarray):
-        (state,), out = jax.lax.scan(
-            functools.partial(frame_body, sc, templates), (state,), frames)
+        (state, templates), out = jax.lax.scan(
+            functools.partial(frame_body, sc), (state, templates), frames)
+        if recruit:
+            return state, templates, out
         return state, out
 
     return run
@@ -287,15 +388,40 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
 
 def build_imageseq_scenario(capacity: int = 96, dtype=None,
                             image_size=(320, 240), splat_amp: float = 170.0,
-                            splat_sigma: float = 1.8, seed: int = 0):
-    """ImageSeqDeviceScenario over the oscillating scenario03 world."""
+                            splat_sigma: float = 1.8, seed: int = 0,
+                            n_points: int | None = None,
+                            bg_cell: int | None = None,
+                            max_deviation: float = 0.6):
+    """ImageSeqDeviceScenario over the oscillating scenario03 world.
+
+    ``n_points`` decouples the world's splat count from the filter capacity
+    (churn scenarios render MORE points than the filter can track, so the
+    recruit loop always has something to acquire). ``bg_cell`` switches the
+    background from per-pixel noise to a bilinearly-upsampled low-frequency
+    field (cell size in pixels): locally smooth, so the Shi-Tomasi recruiter
+    only fires on splats — a static per-pixel-noise texture would offer
+    corner-like, trackable-but-bogus features pinned to the image plane."""
     import numpy as np
 
     dtype = dtype or jnp.float32
-    base = build_oscillating_scenario(capacity=capacity, dtype=dtype)
+    base = build_oscillating_scenario(capacity=n_points or capacity,
+                                      dtype=dtype,
+                                      max_deviation=max_deviation)
     W, H = image_size
     rng = np.random.default_rng(seed)
-    bg = rng.uniform(20.0, 60.0, size=(H, W)).astype(np.float32)
+    if bg_cell is None:
+        bg = rng.uniform(20.0, 60.0, size=(H, W)).astype(np.float32)
+    else:
+        gh, gw = H // bg_cell + 2, W // bg_cell + 2
+        g = rng.uniform(20.0, 60.0, (gh, gw))
+        ys = np.arange(H) / bg_cell
+        xs = np.arange(W) / bg_cell
+        y0, x0 = ys.astype(int), xs.astype(int)
+        fy, fx = (ys - y0)[:, None], (xs - x0)[None, :]
+        bg = (g[y0][:, x0] * (1 - fy) * (1 - fx)
+              + g[y0][:, x0 + 1] * (1 - fy) * fx
+              + g[y0 + 1][:, x0] * fy * (1 - fx)
+              + g[y0 + 1][:, x0 + 1] * fy * fx).astype(np.float32)
     return ImageSeqDeviceScenario(
         gt_cfw_R=base.gt_cfw_R, gt_cfw_t=base.gt_cfw_t,
         gt_points=base.gt_points,
@@ -305,9 +431,13 @@ def build_imageseq_scenario(capacity: int = 96, dtype=None,
 
 
 def build_oscillating_scenario(capacity: int = 32, dtype=None,
-                               detection_noise_std: float = 0.5):
+                               detection_noise_std: float = 0.5,
+                               max_deviation: float = 0.6):
     """Scenario03-style DeviceScenario sized to `capacity` landmarks (grid
-    world replicated+jittered if needed). Shared by bench.py and tests."""
+    world replicated+jittered if needed). Shared by bench.py and tests.
+    ``max_deviation`` is the camera's lateral oscillation amplitude — large
+    values sweep world points in and out of the field of view, which is what
+    gives the recruit/delete churn scenarios their landmark turnover."""
     import numpy as np
 
     from surikatoko_tpu.geom.se3 import SE3
@@ -321,7 +451,7 @@ def build_oscillating_scenario(capacity: int = 32, dtype=None,
     center = points_world.mean(axis=0)
     gt_cfw_world = scene_gen.oscillate_right_and_left(
         center + np.array([0, -2.0, 0]), center, (0, 0, 1),
-        max_deviation=0.6, periods_count=2, shots_per_period=160,
+        max_deviation=max_deviation, periods_count=2, shots_per_period=160,
         const_view_dir=True)
     gt_cfw = gt_poses_in_tracker_frame(gt_cfw_world)
     tfw = SE3(gt_cfw_world.R[0], gt_cfw_world.t[0])

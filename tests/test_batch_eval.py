@@ -31,7 +31,7 @@ def test_vmap_over_noise_seeds():
     B = 6
     keys = jax.random.split(jax.random.PRNGKey(7), B)
     batched = jax.vmap(lambda k: run(state0, sc, frames, k))
-    states, errs, cam_pos = batched(keys)
+    states, errs, _, cam_pos = batched(keys)
 
     assert errs.shape == (B, 20)
     assert bool(jnp.all(jnp.isfinite(errs)))

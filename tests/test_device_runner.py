@@ -33,7 +33,7 @@ def test_scan_runner_tracks():
 
     run = make_scan_runner(params, update_impl=1)
     frames = jnp.arange(1, 61)
-    state, errs, cam_pos = run(state, sc, frames, jax.random.PRNGKey(1))
+    state, errs, _, cam_pos = run(state, sc, frames, jax.random.PRNGKey(1))
     assert bool(jnp.all(jnp.isfinite(errs)))
     # residuals at the noise level, not diverging
     assert float(jnp.mean(errs[10:])) < 3.0
@@ -42,6 +42,58 @@ def test_scan_runner_tracks():
                        for f in range(1, 61)])
     err = np.linalg.norm(np.asarray(cam_pos) - gt_pos, axis=1)
     assert err.max() < 0.5, err.max()
+
+
+def test_scan_runner_all_update_impls():
+    """All four reference update impls (davison-mono-slam.cpp:900-915) are
+    dispatchable inside the device scan loop, and each one tracks."""
+    dtype = jnp.float64
+    sc = build_device_scenario(capacity=16, dtype=dtype)
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95, (0.01, 0.01),
+                                 dtype=dtype)
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.075,
+                         process_noise_ang_veloc_std=0.01, dtype=dtype)
+    gt_pos = np.stack([np.asarray(SE3(sc.gt_cfw_R[f], sc.gt_cfw_t[f]).inv().t)
+                       for f in range(1, 31)])
+    for impl in (2, 3, 4):
+        state = init_state(16, dtype=dtype)
+        state = init_with_gt_landmarks(params, sc, state,
+                                       jax.random.PRNGKey(0))
+        run = make_scan_runner(params, update_impl=impl)
+        state, errs, _, cam_pos = run(state, sc, jnp.arange(1, 31),
+                                   jax.random.PRNGKey(1))
+        assert bool(jnp.all(jnp.isfinite(errs))), impl
+        err = np.linalg.norm(np.asarray(cam_pos) - gt_pos, axis=1)
+        assert err.max() < 0.5, (impl, err.max())
+
+
+def test_imageseq_runner_impl_2_3():
+    """The imageseq (rendered-frame NCC) loop also dispatches the sequential
+    impls 2/3 — VERDICT r3 item 8."""
+    from surikatoko_tpu.world import device_runner as dr
+
+    dtype = jnp.float64
+    capacity = 16
+    sc = dr.build_imageseq_scenario(capacity=capacity, dtype=dtype)
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                 (0.01, 0.01), dtype=dtype)
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.075,
+                         process_noise_ang_veloc_std=0.01, dtype=dtype)
+    for impl in (2, 3):
+        st = init_state(capacity, dtype=dtype)
+        st, templates = dr.init_imageseq(params, sc, st, 15)
+        run = dr.make_imageseq_scan_runner(params, use_pallas=False,
+                                           update_impl=impl)
+        st2, (errs, nmatch, _) = run(st, templates, sc, jnp.arange(1, 21))
+        assert bool(jnp.all(jnp.isfinite(errs))), impl
+        # the sequential impls track a solid majority early and keep at least
+        # half the landmarks matched throughout this short run
+        nm = np.asarray(nmatch)
+        assert nm[:10].min() > capacity * 3 // 4, (impl, nm)
+        assert nm.min() >= capacity // 2, (impl, nm)
+        assert float(jnp.mean(errs)) < 3.0, impl
 
 
 def test_long_horizon_f32_stability():
@@ -61,7 +113,7 @@ def test_long_horizon_f32_stability():
     errs_all = []
     for rep in range(2):
         frames = jnp.arange(1, 160)
-        st, errs, _ = run(st, sc, frames, jax.random.PRNGKey(rep))
+        st, errs, _, _ = run(st, sc, frames, jax.random.PRNGKey(rep))
         errs_all.append(np.asarray(errs))
     errs_all = np.concatenate(errs_all)
     assert np.isfinite(errs_all).all()

@@ -103,7 +103,7 @@ def test_xyz_closed_loop_tracks():
 
     run = make_scan_runner(params, update_impl=1)
     frames = jnp.arange(1, 61)
-    state, errs, cam_pos = run(state, sc, frames, jax.random.PRNGKey(1))
+    state, errs, _, cam_pos = run(state, sc, frames, jax.random.PRNGKey(1))
     assert bool(jnp.all(jnp.isfinite(errs)))
     assert float(jnp.mean(errs[10:])) < 3.0
     gt_pos = np.stack([np.asarray(SE3(sc.gt_cfw_R[f], sc.gt_cfw_t[f]).inv().t)

@@ -31,15 +31,15 @@ _SCRIPT = os.path.join(_REPO, "analysis", "precision_large_k.py")
 _FRAMES = 32
 
 
-def _run(dtype: str, mitigations: bool) -> dict:
+def _run(dtype: str, mitigations: bool, frames: int = _FRAMES) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = ":".join(
         p for p in env.get("PYTHONPATH", "").split(":")
         if p and "axon_site" not in p)
     env["JAX_PLATFORMS"] = "cpu"
     cmd = [sys.executable, _SCRIPT, "--dtype", dtype, "--mode", "ekf",
-           "--capacity", "768", "--frames", str(_FRAMES),
-           "--chunk", str(_FRAMES)]
+           "--capacity", "768", "--frames", str(frames),
+           "--chunk", str(min(frames, 60))]
     if mitigations:
         cmd.append("--mitigations")
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
@@ -57,4 +57,25 @@ def test_f32_ate_within_2x_of_f64_at_k768():
     assert r64["matched_med"] > 500 and r32["matched_med"] > 500
     # the pin: mitigated f32 stays within 2x of clean f64, floored at the
     # detection-noise scale (0.5 px noise -> ~1e-2 map-unit ATE jitter)
+    assert r32["ate_rmse"] <= 2.0 * r64["ate_rmse"] + 0.02, (r32, r64)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("SRK_SLOW_PRECISION", "") != "1",
+                    reason="~12 min of subprocess runs; the opt-in CI lane "
+                           "(SRK_SLOW_PRECISION=1). Latest measured result "
+                           "is recorded in docs/SCALING.md; the UNMITIGATED "
+                           "degradation control runs every round on real "
+                           "TPU as bench.py's unmitigated_f32_* keys (the "
+                           "failure mode is imageseq-specific: the "
+                           "GT-matcher loop re-observes every landmark, so "
+                           "no stale covariance blocks ever inflate).")
+def test_f32_ate_within_2x_of_f64_at_k768_120frames():
+    """The documented f32 failure horizon is ~120 chained K=768 frames
+    (bench.py, CLAUDE.md numerics policy) — the 32-frame pin above stops
+    short of it; this one covers it (VERDICT r3 item 4)."""
+    r64 = _run("f64", mitigations=False, frames=120)
+    r32 = _run("f32", mitigations=True, frames=120)
+    assert r64["finite"] and r32["finite"]
+    assert r64["matched_med"] > 500 and r32["matched_med"] > 500
     assert r32["ate_rmse"] <= 2.0 * r64["ate_rmse"] + 0.02, (r32, r64)

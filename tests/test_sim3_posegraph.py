@@ -122,6 +122,65 @@ def test_se3_graph_cannot_fix_scale_drift():
     assert s.min() < 0.97 or s.max() > 1.03, s
 
 
+def test_umeyama_robust_ignores_gross_outliers(rng):
+    """LMedS similarity fit: ~15% gross-wrong correspondences (the failure
+    mode of appearance-based place recognition — 3/45 wrong pairs measured on
+    the 10k-frame MVF run) must not move the estimate; a plain least-squares
+    Umeyama demonstrably IS moved (control)."""
+    from surikatoko_tpu.geom import so3
+    from surikatoko_tpu.geom.align import (
+        apply_similarity, umeyama_similarity, umeyama_similarity_robust)
+
+    N, n_bad = 45, 7
+    s_gt = 1.37
+    R_gt = np.asarray(so3.exp(jnp.asarray([0.2, -0.4, 0.1])))
+    t_gt = np.array([0.5, -1.0, 2.0])
+    A = rng.normal(size=(N, 3)) * 2.0
+    B = s_gt * A @ R_gt.T + t_gt + rng.normal(scale=1e-3, size=(N, 3))
+    # gross outliers: unrelated points (wrong appearance matches)
+    B[:n_bad] = rng.normal(size=(n_bad, 3)) * 5.0
+
+    s_r, R_r, t_r, inl = umeyama_similarity_robust(
+        jnp.asarray(A), jnp.asarray(B))
+    assert abs(float(s_r) - s_gt) < 1e-2
+    np.testing.assert_allclose(np.asarray(R_r), R_gt, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(t_r), t_gt, atol=2e-2)
+    inl = np.asarray(inl)
+    assert not inl[:n_bad].any(), inl[:n_bad]
+    # the MAD gate keeps the bulk of the true inliers (the chi-distributed
+    # residual-norm tail loses a few — efficiency, not correctness)
+    assert inl[n_bad:].sum() >= (N - n_bad) * 3 // 4
+
+    # control: the plain fit is visibly biased by the same outliers
+    s_p, R_p, t_p = umeyama_similarity(jnp.asarray(A), jnp.asarray(B))
+    err_plain = np.linalg.norm(
+        np.asarray(apply_similarity(s_p, R_p, t_p, jnp.asarray(A[n_bad:])))
+        - (s_gt * A[n_bad:] @ R_gt.T + t_gt), axis=1).max()
+    err_rob = np.linalg.norm(
+        np.asarray(apply_similarity(s_r, R_r, t_r, jnp.asarray(A[n_bad:])))
+        - (s_gt * A[n_bad:] @ R_gt.T + t_gt), axis=1).max()
+    assert err_rob < 0.1 * err_plain, (err_rob, err_plain)
+
+
+def test_umeyama_robust_clean_matches_plain(rng):
+    """With zero outliers the robust fit must agree with least squares."""
+    from surikatoko_tpu.geom import so3
+    from surikatoko_tpu.geom.align import (
+        umeyama_similarity, umeyama_similarity_robust)
+
+    A = rng.normal(size=(30, 3))
+    R_gt = np.asarray(so3.exp(jnp.asarray([-0.1, 0.3, 0.2])))
+    B = 0.8 * A @ R_gt.T + np.array([1.0, 2.0, -0.5]) \
+        + rng.normal(scale=1e-4, size=A.shape)
+    s_p, R_p, t_p = umeyama_similarity(jnp.asarray(A), jnp.asarray(B))
+    s_r, R_r, t_r, inl = umeyama_similarity_robust(
+        jnp.asarray(A), jnp.asarray(B))
+    assert abs(float(s_r) - float(s_p)) < 1e-3
+    np.testing.assert_allclose(np.asarray(R_r), np.asarray(R_p), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t_r), np.asarray(t_p), atol=1e-3)
+    assert np.asarray(inl).sum() >= 25
+
+
 @pytest.mark.slow
 def test_mvf_sim3_loop_closure_fixes_ring_drift():
     """A REAL revisit scenario: one open-chain orbit (track windows do NOT
@@ -205,6 +264,9 @@ def test_mvf_sim3_loop_closure_fixes_ring_drift():
 
     ate_before = traj_ate()
     assert ate_before > 0.1, ate_before     # there IS drift to close
+    import copy
+    mvf_dirty = copy.deepcopy(mvf)
+
     pairs = [(n_pts + tid, tid) for tid in range(n_pts)]
     ok, n_common = mvf.close_loop_sim3(
         tail_frames=range(n_base, n_frames), head_frames=range(6),
@@ -212,3 +274,28 @@ def test_mvf_sim3_loop_closure_fixes_ring_drift():
     assert ok, n_common
     ate_after = traj_ate()
     assert ate_after < 0.5 * ate_before, (ate_before, ate_after)
+
+    # ---- corrupted pairs: ~15% wrong appearance matches must not move the
+    # closure (VERDICT r3 item 3: the LMedS fit, not trust-the-matcher) ----
+    present = [p for p in pairs if p[0] in mvf_dirty.point_coords
+               and p[1] in mvf_dirty.point_coords]
+    n_bad = max(2, len(present) * 15 // 100)
+    bad_rng = np.random.default_rng(7)
+    corrupted = list(present)
+    tail_ids = [a for a, _ in present]
+    for i in range(n_bad):
+        # pair a tail track with a WRONG head track (rolled by half the set)
+        a, _ = corrupted[i]
+        _, b_wrong = corrupted[(i + len(present) // 2) % len(present)]
+        corrupted[i] = (a, b_wrong)
+    ok2, _ = mvf_dirty.close_loop_sim3(
+        tail_frames=range(n_base, n_frames), head_frames=range(6),
+        pairs=corrupted, run_ba=True)
+    assert ok2
+    pos2 = np.stack([-R.T @ t for R, t in zip(mvf_dirty.cam_cfw_R,
+                                              mvf_dirty.cam_cfw_t)])
+    from surikatoko_tpu.geom.align import aligned_rmse as _armse
+    ate_dirty = float(_armse(jnp.asarray(pos2), jnp.asarray(pos_gt)))
+    # the corrupted-pairs closure lands where the clean one did
+    assert ate_dirty < max(1.3 * ate_after, 0.05), (ate_after, ate_dirty)
+    assert mvf_dirty.last_closure_inliers <= len(present) - n_bad + 2
