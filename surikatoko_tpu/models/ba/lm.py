@@ -52,8 +52,8 @@ def _run_device_loop(driver, p, term_crit: TermCriteria, blocks_fn, solve_fn,
     normalize -> LM -> revert as one dispatch + one packed fetch, instead of
     a blocking can_normalize fetch plus separate normalize/revert dispatches
     per BA call (~2 extra round-trips each on a remote-attached TPU —
-    measured as most of the gap between the 15.6 iters/s one-dispatch LM and
-    the 7.1 iters/s the at-scale MVF demo saw end-to-end). A degenerate
+    measured round 3 as most of the gap between the one-dispatch LM kernel
+    rate and what the at-scale MVF demo saw end-to-end). A degenerate
     gauge comes back untouched with stop code "cannot normalize"."""
     from surikatoko_tpu.models.ba import lm_device
 

@@ -156,9 +156,10 @@ def solve_corrections_schur_sparse(
     bundle-adj-kanatani.cpp:1888): the O(pc * (10F)^2) FLOPs of the dense
     strip product are ~40x the nonzero work at L=12, F=500, but the MXU runs
     them two orders of magnitude faster than TPU scatter-adds — measured
-    21.8 TFLOP/s = 71.7% of the chip's honestly-measured f32 matmul ceiling
-    and 3.3x faster LM iterations (3.5 -> 11.4/s) on the 10k x 500
-    configuration (analysis/roofline_schur.py). The transposed strip layout
+    ~71% of the chip's honestly-measured f32 matmul ceiling (the driver
+    artifact owns the number: BENCH schur_pct_of_ceiling, 71.5 in r04)
+    and 3.3x faster LM iterations on the 10k x 500 configuration
+    (analysis/roofline_schur.py). The transposed strip layout
     (point dim minor = 128-lane aligned) matters: the [pc,3,F,10] form puts
     the 10-wide block in the lane dimension and the (8,128) tiling pads its
     HBM writes ~12.8x (measured 81 -> 64 ms for the reduction). The rhs

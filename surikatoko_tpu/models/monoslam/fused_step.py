@@ -188,11 +188,13 @@ def _fused_covariance_predict(params, x, P, B, keep, x_next, Cp, G,
     Pw = jnp.concatenate([top, bottom], axis=0)         # V P V^T + GQG embed
     P_next = Pw - B2.T @ B2                             # epilogue-fused write
     if params.covar_diag_inflation is not None:
-        # per-frame diagonal inflation: counters the slow PSD loss of f32
-        # downdates (measured: the 1536-dim innovation goes indefinite by
-        # ~2e-5 of its scale after ~120 chained K=768 frames). Statistically
-        # a tiny extra process noise on every variable; the reference's f64
-        # never needed it. Only variables with live (positive) variance
+        # per-frame diagonal inflation: insurance against slow PSD loss of
+        # f32 downdates (2026-08-19 code measured the 1536-dim innovation
+        # indefinite by ~2e-5 of its scale after ~120 chained K=768 frames;
+        # on current Gram-form/exact-symmetry congruences the unmitigated
+        # filter stays PSD 960+ frames — see bench unmitigated_f32_* keys).
+        # Statistically a tiny extra process noise on every variable; the
+        # reference's f64 never needed it. Only variables with live (positive) variance
         # inflate — deactivated slots and the zero-covariance gauge anchor
         # stay exactly zero.
         infl = params.covar_diag_inflation.astype(dtype)

@@ -70,7 +70,8 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
                                  search_radius: int = 7,
                                  min_corr_coeff: float = 0.6,
                                  chi2_gate: float = 5.99146,
-                                 use_pallas: bool = False):
+                                 use_pallas: bool = False,
+                                 subpixel: bool = False):
     """Returns a jitted (x, P, templates [K,T,T], lm_active [K],
     lm_unobserved [K], sc: ImageSeqDeviceScenario, frames [T]) ->
     (x, P, lm_active, lm_unobserved, (err [T], n_matched [T], cam_pos [T,3]))
@@ -135,7 +136,7 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
                 search_radius=search_radius,
                 min_corr_coeff=min_corr_coeff,
                 sigma_inv=sigma_inv, chi2_gate=chi2_gate,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, subpixel=subpixel)
             obs_loc = res.best_center
             mask_loc = res.matched & active_loc & row_ok
 

@@ -214,6 +214,7 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
                               chi2_gate: float = 5.99146,
                               use_pallas: bool = True,
                               update_impl: int = 1,
+                              subpixel: bool = False,
                               recruit: bool = False,
                               recruit_max: int = 8,
                               detector_corners: int = 24,
@@ -287,7 +288,8 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
         res = ncc_search(
             img, h, templates, state.lm_active,
             search_radius=search_radius, min_corr_coeff=min_corr_coeff,
-            sigma_inv=sigma_inv, chi2_gate=chi2_gate, use_pallas=use_pallas)
+            sigma_inv=sigma_inv, chi2_gate=chi2_gate, use_pallas=use_pallas,
+            subpixel=subpixel)
         obs = res.best_center
         obs_mask = (res.matched & state.lm_active & row_ok)
 

@@ -97,6 +97,39 @@ def test_ncc_search_ellipse_gate_blocks_far_match(rng):
     assert not bool(res.matched[0])  # true match at +10 px is outside the gate
 
 
+def test_ncc_subpixel_refinement(rng):
+    """A blob displaced by a FRACTIONAL pixel: the parabola-refined center
+    must land within ~0.15 px of the true position, where the integer
+    argmax is off by up to half a pixel (round-4 quality addition; the
+    reference's scan is integer, demo-davison-mono-slam.cpp:465)."""
+    true_shift = np.array([0.3, -0.4])
+    base = np.array([[80.0, 70.0]])
+    img0 = render_blobs(base, sigma=2.0, seed=3)
+    img1 = render_blobs(base + true_shift, sigma=2.0, seed=3)
+    T = 13
+    half = T // 2
+    cx, cy = int(base[0, 0]), int(base[0, 1])
+    templ = jnp.asarray(img0[cy - half:cy + half + 1,
+                             cx - half:cx + half + 1])[None]
+    centers = jnp.asarray(base, jnp.float32)
+    active = jnp.ones(1, bool)
+
+    res_i = ncc_mod.ncc_search(jnp.asarray(img1), centers, templ, active,
+                               search_radius=5, min_corr_coeff=0.3)
+    res_s = ncc_mod.ncc_search(jnp.asarray(img1), centers, templ, active,
+                               search_radius=5, min_corr_coeff=0.3,
+                               subpixel=True)
+    assert bool(res_i.matched[0]) and bool(res_s.matched[0])
+    true_pos = base[0] + true_shift
+    err_i = np.linalg.norm(np.asarray(res_i.best_center[0]) - true_pos)
+    err_s = np.linalg.norm(np.asarray(res_s.best_center[0]) - true_pos)
+    assert err_s < 0.15, (err_s, np.asarray(res_s.best_center[0]), true_pos)
+    assert err_s < err_i, (err_s, err_i)
+    # integer part unchanged: refinement moves the center < half a cell
+    assert np.all(np.abs(np.asarray(res_s.best_center[0])
+                         - np.asarray(res_i.best_center[0])) <= 0.5)
+
+
 def test_detect_corners_on_blobs():
     pts = np.array([[60.0, 50.0], [160.0, 120.0], [250.0, 200.0], [80.0, 180.0]])
     img = render_blobs(pts, sigma=2.0)
