@@ -52,20 +52,26 @@ def main() -> int:
             params, sc, s, 15, max_bootstrap=boot))(st)
         run = make_imageseq_scan_runner(params, templ_width=15,
                                         recruit=recruit, **run_kw)
-        fr = jnp.arange(frames_lo, frames_lo + n_frames)
+        # warm on the first window, then time the NEXT window from the
+        # warmed state (reps perturb the state; re-running the SAME frames
+        # from an evolved state would desynchronize filter and imagery and
+        # make the matched counts meaningless)
+        fr_warm = jnp.arange(frames_lo, frames_lo + n_frames)
+        fr = fr_warm + n_frames
         t0 = time.time()
-        out = run(st, tm, sc, fr)
+        out = run(st, tm, sc, fr_warm)
         if recruit:
-            st2, tm2, (err, n, pos, nrec, nact) = out
+            st2, tm2, _ = out
         else:
-            st2, (err, n, pos) = out
+            st2, _ = out
+            tm2 = tm
         _ = float(jnp.sum(st2.x))
         t_compile = time.time() - t0
         ts = []
         for r in range(2):
             t0 = time.time()
             out = run(st2._replace(x=st2.x * (1.0 + 1e-6 * (r + 1))),
-                      tm2 if recruit else tm, sc, fr)
+                      tm2, sc, fr)
             if recruit:
                 st3, _, (err, n, pos, nrec, nact) = out
             else:
@@ -90,10 +96,10 @@ def main() -> int:
     churn_kw = dict(n_points=1024, bg_cell=48, max_deviation=1.0)
     run_cfg("churn-sc no-recruit", churn_kw, False, 1, max_bootstrap=700)
     # c) churn scenario + recruit, current bench settings
-    run_cfg("churn-sc recruit c24", churn_kw, True, 121, max_bootstrap=700,
+    run_cfg("churn-sc recruit c24", churn_kw, True, 1, max_bootstrap=700,
             recruit_max=8, detector_corners=24)
     # d) churn + recruit, larger candidate budget
-    run_cfg("churn-sc recruit c64", churn_kw, True, 121, max_bootstrap=700,
+    run_cfg("churn-sc recruit c64", churn_kw, True, 1, max_bootstrap=700,
             recruit_max=12, detector_corners=64)
 
     # e) unmitigated control on the ROUND-3 scenario, 300 frames
