@@ -137,18 +137,23 @@ def _localize_jit(c1, c2, depths, mask, pts, R_init, t_init, R_prev, t_prev,
                   refine: bool):
     """One fused device program per (bucketed) shape: SVD-12 relative motion
     composed with the anchor pose, then (optionally) GN-PnP polish seeded
-    from the better of {SVD estimate, previous frame pose}."""
+    from the better of {SVD estimate, previous frame pose}.
+
+    Returns ONE packed [13] vector [R.ravel(9), t(3), ok(1)]: on a
+    remote-attached TPU every separate np.asarray/bool() of a device array
+    is a blocking ~25 ms tunnel round-trip, and the host loop consumes all
+    three results every frame — packing cuts 3 fetches to 1."""
     rel, ok = rm.find_relative_motion_multi_points(c1, c2, depths, mask)
     R_new = rel.R @ R_init
     t_new = rel.R @ t_init + rel.t
-    if not refine:
-        return R_new, t_new, ok
-    R_a, t_a, rms_a = rm.refine_pose_pnp(pts, c2, mask, R_new, t_new)
-    R_b, t_b, rms_b = rm.refine_pose_pnp(pts, c2, mask, R_prev, t_prev)
-    take_a = rms_a <= rms_b
-    R_r = jnp.where(take_a, R_a, R_b)
-    t_r = jnp.where(take_a, t_a, t_b)
-    return R_r, t_r, ok
+    if refine:
+        R_a, t_a, rms_a = rm.refine_pose_pnp(pts, c2, mask, R_new, t_new)
+        R_b, t_b, rms_b = rm.refine_pose_pnp(pts, c2, mask, R_prev, t_prev)
+        take_a = rms_a <= rms_b
+        R_new = jnp.where(take_a, R_a, R_b)
+        t_new = jnp.where(take_a, t_a, t_b)
+    return jnp.concatenate([R_new.ravel(), t_new,
+                            ok.astype(R_new.dtype)[None]])
 
 
 _batched_depth = jax.jit(jax.vmap(rm.estimate_point_depth))
@@ -196,7 +201,12 @@ def _triangulate_refine_jit(x_base, xs, R_fb, T_fb, msk,
         good = (jnp.all(jnp.isfinite(x_ref), axis=1)
                 & (rms(x_ref) <= rms(x_lin)) & (z_ref > 1e-6))
         x_lin = jnp.where(good[:, None], x_ref, x_lin)
-    return x_lin, jnp.where(d_ok, depth, -1.0), parallax_ratio
+    # pack [x(3), depth, parallax] into one [N,5] array: the host consumes
+    # all three per call and each separate fetch through a remote TPU
+    # tunnel blocks ~25 ms
+    return jnp.concatenate(
+        [x_lin, jnp.where(d_ok, depth, -1.0)[:, None],
+         parallax_ratio[:, None]], axis=1)
 
 
 @jax.jit
@@ -319,13 +329,14 @@ class MultiViewFactorizer:
         ptsb[:n] = pts
         msk[:n] = good_d
 
-        R_new, t_new, ok = _localize_jit(
+        packed = np.asarray(_localize_jit(
             jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(dep),
             jnp.asarray(msk), jnp.asarray(ptsb),
             jnp.asarray(Ra), jnp.asarray(ta),
             jnp.asarray(self.cam_cfw_R[-1]), jnp.asarray(self.cam_cfw_t[-1]),
-            refine=self.refine_localization and not self.fake_localization)
-        if not bool(ok):
+            refine=self.refine_localization and not self.fake_localization))
+        R_new, t_new, ok = packed[:9].reshape(3, 3), packed[9:12], packed[12]
+        if ok <= 0.5:
             return False
 
         if self.fake_localization and self.gt_cfw_fun is not None:
@@ -402,15 +413,13 @@ class MultiViewFactorizer:
             msk_w[i, :k] = True
             Rb_all[i] = R_all[bases[i]]
             tb_all[i] = t_all[bases[i]]
-        x_out, depth, par = _triangulate_refine_jit(
+        packed = np.asarray(_triangulate_refine_jit(
             jnp.asarray(x_base), jnp.asarray(xs), jnp.asarray(R_fb),
             jnp.asarray(T_fb), jnp.asarray(msk), jnp.asarray(obs_w),
             jnp.asarray(R_w), jnp.asarray(t_w), jnp.asarray(msk_w),
             jnp.asarray(Rb_all), jnp.asarray(tb_all),
-            refine=self.refine_mapping)
-        x_out = np.asarray(x_out)
-        depth = np.asarray(depth)
-        par = np.asarray(par)
+            refine=self.refine_mapping))
+        x_out, depth, par = packed[:, :3], packed[:, 3], packed[:, 4]
         out = {}
         for i, (tid, sel) in enumerate(cands):
             if (depth[i] > 0 and np.isfinite(x_out[i]).all()
@@ -438,6 +447,15 @@ class MultiViewFactorizer:
             self.point_coords[int(tid)] = x_world
 
     # ---- BA problem emission -------------------------------------------
+    def _bucketed_track_len(self, tids) -> int:
+        """Observation-array width for a BA problem over ``tids``: the max
+        track count rounded up to a multiple of 8, capped at the store
+        width — a handful of stable shapes instead of a recompile per
+        track-growth step."""
+        ts = self.track_store
+        lmax = int(ts.count[np.asarray(tids, int)].max(initial=1))
+        return min(ts.pixels.shape[1], -(-max(lmax, 1) // 8) * 8)
+
     def _sparse_problem(self, pad_points: int = 1,
                         track_len: Optional[int] = None,
                         pad_frames: int = 0
@@ -452,6 +470,10 @@ class MultiViewFactorizer:
         ts = self.track_store
         n_f = self.frames_count()
         n_fp = n_f if not pad_frames else -(-n_f // pad_frames) * pad_frames
+        if track_len is None:
+            # bucketed L so the global BA's jit cache survives incremental
+            # track growth (see run_windowed_ba)
+            track_len = self._bucketed_track_len(tids)
         obs, fidx, mask = ts.sparse_observations(tids, n_f, track_len)
         Np = len(tids)
         pad = (-Np) % pad_points
@@ -610,7 +632,16 @@ class MultiViewFactorizer:
                       & set(self.point_coords))
         if not tids:
             return False
-        obs, fidx, mask = ts.sparse_observations(tids, F)
+        # track_len BUCKETED to multiples of 8 (capped at the store width):
+        # deriving it from the exact max track count (the default) changes
+        # the obs shape every time the longest track grows, and every change
+        # recompiles the device LM — tens of seconds each through a remote
+        # TPU tunnel. Bucketing bounds the shape set to ~3 while keeping the
+        # padding (and the per-iteration derivative cost) near the true
+        # track length. (Truncating instead would drop the NEWEST
+        # observations — exactly the in-window ones.)
+        obs, fidx, mask = ts.sparse_observations(
+            tids, F, track_len=self._bucketed_track_len(tids))
         # restrict to window frames, local indexing
         inwin = mask & (fidx >= base)
         fidx_l = np.where(inwin, fidx - base, 0).astype(np.int32)
