@@ -132,17 +132,11 @@ class TrackStore:
         return obs, fidx.astype(np.int32), mask
 
 
-@functools.partial(jax.jit, static_argnames=("refine",))
-def _localize_jit(c1, c2, depths, mask, pts, R_init, t_init, R_prev, t_prev,
-                  refine: bool):
-    """One fused device program per (bucketed) shape: SVD-12 relative motion
-    composed with the anchor pose, then (optionally) GN-PnP polish seeded
-    from the better of {SVD estimate, previous frame pose}.
-
-    Returns ONE packed [13] vector [R.ravel(9), t(3), ok(1)]: on a
-    remote-attached TPU every separate np.asarray/bool() of a device array
-    is a blocking ~25 ms tunnel round-trip, and the host loop consumes all
-    three results every frame — packing cuts 3 fetches to 1."""
+def _localize_core(c1, c2, depths, mask, pts, R_init, t_init, R_prev, t_prev,
+                   refine: bool):
+    """SVD-12 relative motion composed with the anchor pose, then
+    (optionally) GN-PnP polish seeded from the better of {SVD estimate,
+    previous frame pose}. Returns (R_new, t_new, ok)."""
     rel, ok = rm.find_relative_motion_multi_points(c1, c2, depths, mask)
     R_new = rel.R @ R_init
     t_new = rel.R @ t_init + rel.t
@@ -152,20 +146,33 @@ def _localize_jit(c1, c2, depths, mask, pts, R_init, t_init, R_prev, t_prev,
         take_a = rms_a <= rms_b
         R_new = jnp.where(take_a, R_a, R_b)
         t_new = jnp.where(take_a, t_a, t_b)
+    return R_new, t_new, ok
+
+
+def _pack_pose(R_new, t_new, ok):
+    """[13] = [R.ravel(9), t(3), ok(1)]: on a remote-attached TPU every
+    separate np.asarray/bool() of a device array is a blocking ~25 ms
+    tunnel round-trip, and the host loop consumes all three every frame."""
     return jnp.concatenate([R_new.ravel(), t_new,
                             ok.astype(R_new.dtype)[None]])
+
+
+@functools.partial(jax.jit, static_argnames=("refine",))
+def _localize_jit(c1, c2, depths, mask, pts, R_init, t_init, R_prev, t_prev,
+                  refine: bool):
+    return _pack_pose(*_localize_core(c1, c2, depths, mask, pts,
+                                      R_init, t_init, R_prev, t_prev, refine))
 
 
 _batched_depth = jax.jit(jax.vmap(rm.estimate_point_depth))
 _batched_refine_point = jax.jit(jax.vmap(rm.refine_point_gn))
 
 
-@functools.partial(jax.jit, static_argnames=("refine",))
-def _triangulate_refine_jit(x_base, xs, R_fb, T_fb, msk,
-                            obs_w, R_w, t_w, msk_w, Rb, tb, refine: bool):
-    """Linear MASKS-8.44 depth + world lift + optional GN polish as ONE
-    device program (host loops pay a full tunnel round-trip per dispatch).
-    Returns (x_world [N,3], depth [N], depth<=0 flagged as -1)."""
+def _triangulate_core(x_base, xs, R_fb, T_fb, msk,
+                      obs_w, R_w, t_w, msk_w, Rb, tb, refine: bool):
+    """Linear MASKS-8.44 depth + world lift + optional GN polish.
+    Returns one packed [N,5] array [x_world(3), depth(-1 = behind),
+    parallax_ratio]."""
     depth = jax.vmap(rm.estimate_point_depth)(x_base, xs, R_fb, T_fb, msk)
     d_ok = jnp.isfinite(depth) & (depth > 0)
     d_safe = jnp.where(d_ok, depth, 1.0)
@@ -207,6 +214,45 @@ def _triangulate_refine_jit(x_base, xs, R_fb, T_fb, msk,
     return jnp.concatenate(
         [x_lin, jnp.where(d_ok, depth, -1.0)[:, None],
          parallax_ratio[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("refine",))
+def _triangulate_refine_jit(x_base, xs, R_fb, T_fb, msk,
+                            obs_w, R_w, t_w, msk_w, Rb, tb, refine: bool):
+    """One fused device program per (bucketed) shape (host loops pay a full
+    tunnel round-trip per dispatch)."""
+    return _triangulate_core(x_base, xs, R_fb, T_fb, msk,
+                             obs_w, R_w, t_w, msk_w, Rb, tb, refine)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("refine_loc", "refine_map"))
+def _integrate_jit(c1, c2, depths, mask, pts, R_init, t_init, R_prev, t_prev,
+                   x_base, xs, R_fb, T_fb, msk_fb, new_fb,
+                   obs_w, R_w, t_w, msk_w, new_w, Rb, tb,
+                   refine_loc: bool, refine_map: bool):
+    """Localize the new frame AND triangulate its fresh tracks as ONE
+    device program. The triangulation batch is assembled host-side BEFORE
+    the new pose exists; entries observed at the new frame carry
+    placeholders flagged by ``new_fb`` / ``new_w`` and the just-computed
+    pose substitutes in here. Cuts the per-frame host<->device traffic from
+    2 dispatches + 2 blocking fetches to 1 + 1 — on a remote-attached TPU
+    the round-trips dominate the per-frame cost (measured up to 10x swings
+    in tunnel latency; see integrate_new_frame_corners).
+    Returns (pose13, packed [N,5])."""
+    R_new, t_new, ok = _localize_core(c1, c2, depths, mask, pts,
+                                      R_init, t_init, R_prev, t_prev,
+                                      refine_loc)
+    # frame-from-base blocks for new-frame observations: R_new @ Rb^T
+    sub_R = jnp.einsum("ij,nkj->nik", R_new, Rb)            # [N,3,3]
+    sub_T = t_new[None, :] - jnp.einsum("nik,nk->ni", sub_R, tb)
+    R_fb2 = jnp.where(new_fb[..., None, None], sub_R[:, None], R_fb)
+    T_fb2 = jnp.where(new_fb[..., None], sub_T[:, None], T_fb)
+    R_w2 = jnp.where(new_w[..., None, None], R_new, R_w)
+    t_w2 = jnp.where(new_w[..., None], t_new, t_w)
+    packed = _triangulate_core(x_base, xs, R_fb2, T_fb2, msk_fb,
+                               obs_w, R_w2, t_w2, msk_w, Rb, tb, refine_map)
+    return _pack_pose(R_new, t_new, ok), packed
 
 
 @jax.jit
@@ -329,15 +375,35 @@ class MultiViewFactorizer:
         ptsb[:n] = pts
         msk[:n] = good_d
 
-        packed = np.asarray(_localize_jit(
-            jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(dep),
-            jnp.asarray(msk), jnp.asarray(ptsb),
-            jnp.asarray(Ra), jnp.asarray(ta),
-            jnp.asarray(self.cam_cfw_R[-1]), jnp.asarray(self.cam_cfw_t[-1]),
-            refine=self.refine_localization and not self.fake_localization))
-        R_new, t_new, ok = packed[:9].reshape(3, 3), packed[9:12], packed[12]
-        if ok <= 0.5:
-            return False
+        loc_args = (jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(dep),
+                    jnp.asarray(msk), jnp.asarray(ptsb),
+                    jnp.asarray(Ra), jnp.asarray(ta),
+                    jnp.asarray(self.cam_cfw_R[-1]),
+                    jnp.asarray(self.cam_cfw_t[-1]))
+        refine_loc = self.refine_localization and not self.fake_localization
+        cands = self._tri_candidates(self._fresh_tracks(new_frame), new_frame)
+        tri = {}
+        if cands and not self.fake_localization:
+            # fused path: localize + triangulate the fresh tracks as ONE
+            # dispatch, ONE batched fetch (the remote tunnel's round-trip
+            # latency dominates the per-frame cost and swings up to 10x
+            # between sessions — fewer trips, flatter worst case)
+            batch = self._assemble_tri_batch(cands, mark_frame=new_frame)
+            pose_dev, tri_dev = _integrate_jit(
+                *loc_args, *batch, refine_loc=refine_loc,
+                refine_map=self.refine_mapping)
+            pose_np, tri_np = jax.device_get((pose_dev, tri_dev))
+            R_new, t_new, ok = (pose_np[:9].reshape(3, 3), pose_np[9:12],
+                                pose_np[12])
+            if ok <= 0.5:
+                return False
+            tri = self._accept_triangulations(cands, np.asarray(tri_np))
+        else:
+            pose_np = np.asarray(_localize_jit(*loc_args, refine=refine_loc))
+            R_new, t_new, ok = (pose_np[:9].reshape(3, 3), pose_np[9:12],
+                                pose_np[12])
+            if ok <= 0.5:
+                return False
 
         if self.fake_localization and self.gt_cfw_fun is not None:
             gt = self.gt_cfw_fun(new_frame)
@@ -347,8 +413,12 @@ class MultiViewFactorizer:
             self.cam_cfw_R.append(np.asarray(R_new))
             self.cam_cfw_t.append(np.asarray(t_new))
 
-        # triangulate tracks seen in this frame that aren't reconstructed yet
-        self._reconstruct_new_tracks(new_frame)
+        if cands and not self.fake_localization:
+            self._store_triangulations(tri)
+        else:
+            # fake-localization path triangulates under the (GT) appended
+            # pose; empty-candidate frames are a no-op either way
+            self._reconstruct_new_tracks(new_frame)
 
         # BA trigger (skip the device fetch entirely when the trigger is
         # disabled — one fewer host<->device round-trip per frame)
@@ -359,11 +429,7 @@ class MultiViewFactorizer:
         return True
 
     # ---- triangulation (MASKS 8.44), batched over candidate tracks ----
-    def _triangulate_tracks(self, tids, upto_frame: int) -> dict:
-        """Batched depth of each track from all its observations up to (and
-        including) `upto_frame`, under the current camera poses. One device
-        call per (bucketed) candidate count. Returns {tid: xyz_world} for
-        the tracks whose depth came out finite and positive."""
+    def _tri_candidates(self, tids, upto_frame: int) -> list:
         ts = self.track_store
         cands = []
         for tid in tids:
@@ -371,8 +437,16 @@ class MultiViewFactorizer:
             sel = np.nonzero(fr <= upto_frame)[0]
             if len(sel) >= 2:
                 cands.append((int(tid), sel))
-        if not cands:
-            return {}
+        return cands
+
+    def _assemble_tri_batch(self, cands, mark_frame: int | None = None):
+        """Bucketed triangulation batch arrays for ``cands``. With
+        ``mark_frame`` set, observations at that frame get identity/zero
+        POSE placeholders plus True entries in the returned (new_fb, new_w)
+        masks — the fused integrate program substitutes the just-computed
+        pose there (the pose list does not contain it yet)."""
+        ts = self.track_store
+        n_have = len(self.cam_cfw_R)
         R_all = np.stack(self.cam_cfw_R)
         t_all = np.stack(self.cam_cfw_t)
         M = max(len(sel) for _, sel in cands) - 1
@@ -382,43 +456,48 @@ class MultiViewFactorizer:
         R_fb = np.broadcast_to(np.eye(3), (Nb, Mb, 3, 3)).copy()
         T_fb = np.zeros((Nb, Mb, 3))
         msk = np.zeros((Nb, Mb), bool)
-        bases = []
-        for i, (tid, sel) in enumerate(cands):
-            fr = ts.frames_of(tid)[sel]
-            base = int(fr[0])
-            others = fr[1:]
-            Rb, tb = R_all[base], t_all[base]
-            k = len(others)
-            x_base[i] = ts.coords[tid, sel[0]]
-            xs[i, :k] = ts.coords[tid, sel[1:]]
-            R_fb[i, :k] = R_all[others] @ Rb.T
-            T_fb[i, :k] = t_all[others] - np.einsum(
-                "fij,j->fi", R_fb[i, :k], tb)
-            msk[i, :k] = True
-            bases.append(base)
-        # GN-polish batch (world-frame poses, ALL observations incl. base) —
-        # built unconditionally so the whole triangulation is ONE dispatch
+        new_fb = np.zeros((Nb, Mb), bool)
         obs_w = np.zeros((Nb, Mb + 1, 3))
         R_w = np.broadcast_to(np.eye(3), (Nb, Mb + 1, 3, 3)).copy()
         t_w = np.zeros((Nb, Mb + 1, 3))
         msk_w = np.zeros((Nb, Mb + 1), bool)
+        new_w = np.zeros((Nb, Mb + 1), bool)
         Rb_all = np.broadcast_to(np.eye(3), (Nb, 3, 3)).copy()
         tb_all = np.zeros((Nb, 3))
         for i, (tid, sel) in enumerate(cands):
             fr = ts.frames_of(tid)[sel]
-            k = len(fr)
-            obs_w[i, :k] = ts.coords[tid, sel]
-            R_w[i, :k] = R_all[fr]
-            t_w[i, :k] = t_all[fr]
-            msk_w[i, :k] = True
-            Rb_all[i] = R_all[bases[i]]
-            tb_all[i] = t_all[bases[i]]
-        packed = np.asarray(_triangulate_refine_jit(
-            jnp.asarray(x_base), jnp.asarray(xs), jnp.asarray(R_fb),
-            jnp.asarray(T_fb), jnp.asarray(msk), jnp.asarray(obs_w),
-            jnp.asarray(R_w), jnp.asarray(t_w), jnp.asarray(msk_w),
-            jnp.asarray(Rb_all), jnp.asarray(tb_all),
-            refine=self.refine_mapping))
+            base = int(fr[0])          # a track's FIRST obs is never at
+            Rb, tb = R_all[base], t_all[base]   # mark_frame (needs >=2 obs)
+            others = fr[1:]
+            is_new_o = others >= n_have
+            safe_o = np.where(is_new_o, 0, others)
+            k = len(others)
+            x_base[i] = ts.coords[tid, sel[0]]
+            xs[i, :k] = ts.coords[tid, sel[1:]]
+            R_fb[i, :k] = R_all[safe_o] @ Rb.T
+            T_fb[i, :k] = t_all[safe_o] - np.einsum(
+                "fij,j->fi", R_fb[i, :k], tb)
+            msk[i, :k] = True
+            new_fb[i, :k] = is_new_o
+            kf = len(fr)
+            is_new_f = fr >= n_have
+            safe_f = np.where(is_new_f, 0, fr)
+            obs_w[i, :kf] = ts.coords[tid, sel]
+            R_w[i, :kf] = R_all[safe_f]
+            t_w[i, :kf] = t_all[safe_f]
+            msk_w[i, :kf] = True
+            new_w[i, :kf] = is_new_f
+            Rb_all[i] = Rb
+            tb_all[i] = tb
+        return (jnp.asarray(x_base), jnp.asarray(xs), jnp.asarray(R_fb),
+                jnp.asarray(T_fb), jnp.asarray(msk), jnp.asarray(new_fb),
+                jnp.asarray(obs_w), jnp.asarray(R_w), jnp.asarray(t_w),
+                jnp.asarray(msk_w), jnp.asarray(new_w),
+                jnp.asarray(Rb_all), jnp.asarray(tb_all))
+
+    def _accept_triangulations(self, cands, packed: np.ndarray) -> dict:
+        """{tid: xyz} from the packed [N,5] triangulation result (finite,
+        in-front, enough parallax)."""
         x_out, depth, par = packed[:, :3], packed[:, 3], packed[:, 4]
         out = {}
         for i, (tid, sel) in enumerate(cands):
@@ -427,24 +506,45 @@ class MultiViewFactorizer:
                 out[tid] = x_out[i]
         return out
 
+    def _store_triangulations(self, tri: dict) -> None:
+        for tid, x_world in tri.items():
+            if self.fake_mapping and self.gt_point_fun is not None:
+                x_world = np.asarray(self.gt_point_fun(int(tid)))
+            self.point_coords[int(tid)] = x_world
+
+    def _triangulate_tracks(self, tids, upto_frame: int) -> dict:
+        """Batched depth of each track from all its observations up to (and
+        including) `upto_frame`, under the current camera poses. One device
+        call per (bucketed) candidate count. Returns {tid: xyz_world} for
+        the tracks whose depth came out finite and positive."""
+        cands = self._tri_candidates(tids, upto_frame)
+        if not cands:
+            return {}
+        (x_base, xs, R_fb, T_fb, msk, _new_fb, obs_w, R_w, t_w, msk_w,
+         _new_w, Rb_all, tb_all) = self._assemble_tri_batch(cands)
+        packed = np.asarray(_triangulate_refine_jit(
+            x_base, xs, R_fb, T_fb, msk, obs_w, R_w, t_w, msk_w,
+            Rb_all, tb_all, refine=self.refine_mapping))
+        return self._accept_triangulations(cands, packed)
+
     def _triangulate_track(self, tid: int, upto_frame: int
                            ) -> Optional[np.ndarray]:
         return self._triangulate_tracks([tid], upto_frame).get(int(tid))
 
-    def _reconstruct_new_tracks(self, new_frame: int) -> None:
+    def _fresh_tracks(self, new_frame: int) -> list:
         ts = self.track_store
         # new tracks, plus re-triangulation of linear-only tracks (not yet
         # through BA): their first depth came from a tiny baseline — as the
         # track accrues frames the linear estimate sharpens, and overriding
         # it is safe until BA has produced something better
-        fresh = [int(t) for t in ts.tracks_in_frame(new_frame)
-                 if int(t) not in self.point_coords
-                 or int(t) not in self._ba_points]
-        tri = self._triangulate_tracks(fresh, new_frame)
-        for tid, x_world in tri.items():
-            if self.fake_mapping and self.gt_point_fun is not None:
-                x_world = np.asarray(self.gt_point_fun(int(tid)))
-            self.point_coords[int(tid)] = x_world
+        return [int(t) for t in ts.tracks_in_frame(new_frame)
+                if int(t) not in self.point_coords
+                or int(t) not in self._ba_points]
+
+    def _reconstruct_new_tracks(self, new_frame: int) -> None:
+        tri = self._triangulate_tracks(self._fresh_tracks(new_frame),
+                                       new_frame)
+        self._store_triangulations(tri)
 
     # ---- BA problem emission -------------------------------------------
     def _bucketed_track_len(self, tids) -> int:
@@ -786,7 +886,10 @@ class MultiViewFactorizer:
                 edges.append((int(i), int(j), Z[1], Z[2], Z[0],
                               closure_weight))
         g = make_sim3_graph(R_w, t_w, edges)
-        g = optimize_sim3_graph(g, iters=iters)
+        # one-dispatch LM (the host schedule pays dispatch + blocking error
+        # fetch per attempt — the dominant closure cost on a remote tunnel)
+        g = optimize_sim3_graph(g, iters=iters,
+                                device_loop=self.ba_device_loop)
         R_w = np.asarray(g.R)
         t_w = np.asarray(g.t)
         for f in range(n):

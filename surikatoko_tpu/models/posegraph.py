@@ -199,46 +199,84 @@ def sim3_graph_error(g: Sim3Graph) -> jnp.ndarray:
     return jnp.sum(r * r)
 
 
+def _sim3_linearize(gc: Sim3Graph):
+    N = gc.R.shape[0]
+    dtype = gc.t.dtype
+    z3 = jnp.zeros((N, 3), dtype)
+    z1 = jnp.zeros((N,), dtype)
+
+    def res_flat(dw, dt, dls):
+        return sim3_edge_residuals(gc, dw, dt, dls).reshape(-1)
+
+    r = res_flat(z3, z3, z1)
+    Jw, Jt, Js = jax.jacfwd(res_flat, argnums=(0, 1, 2))(z3, z3, z1)
+    J = jnp.concatenate([Jw.reshape(r.shape[0], -1),
+                         Jt.reshape(r.shape[0], -1),
+                         Js.reshape(r.shape[0], -1)], axis=1)  # [m,7N]
+    free = jnp.ones((7 * N,), dtype)
+    free = (free.at[0:3].set(0.0)
+            .at[3 * N:3 * N + 3].set(0.0)
+            .at[6 * N].set(0.0))
+    return r, J * free[None, :]
+
+
+def _sim3_solve_damped(gc: Sim3Graph, blocks, lam):
+    r, J = blocks
+    N = gc.R.shape[0]
+    dtype = gc.t.dtype
+    H = J.T @ J + (lam + 1e-12) * jnp.eye(7 * N, dtype=dtype)
+    pin = jnp.zeros((7 * N,), dtype)
+    pin = pin.at[0:3].set(1.0).at[3 * N:3 * N + 3].set(1.0).at[6 * N].set(1.0)
+    H = H + jnp.diag(pin)
+    return -jnp.linalg.solve(H, J.T @ r)
+
+
+def _sim3_apply_step(gc: Sim3Graph, d) -> Sim3Graph:
+    N = gc.R.shape[0]
+    dw = d[:3 * N].reshape(N, 3)
+    dt = d[3 * N:6 * N].reshape(N, 3)
+    dls = d[6 * N:]
+    R_new = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, gc.R)
+    return gc._replace(R=R_new, t=gc.t + dt, s=gc.s * jnp.exp(dls))
+
+
 def optimize_sim3_graph(g: Sim3Graph, iters: int = 30,
                         damping: float = 1e-6,
-                        max_damping: float = 1e8) -> Sim3Graph:
+                        max_damping: float = 1e8,
+                        device_loop: bool = False) -> Sim3Graph:
     """LM over (R, t, log s) of all nodes; node 0 pinned (full Sim(3)
-    gauge: orientation, position, AND global scale)."""
-    N = g.R.shape[0]
+    gauge: orientation, position, AND global scale).
+
+    ``device_loop=True`` compiles the whole damping schedule as one program
+    (models/ba/lm_device.py, the same driver the SE(3) graph and the BA
+    use): the host path pays a dispatch plus a blocking error fetch per
+    attempt — at 40 iterations over a remote TPU tunnel that is the
+    dominant cost of a loop closure (measured: most of the ~3 min the
+    512-node closure spent) — and it re-linearizes after every rejected
+    step, while the device driver caches the linearization across damping
+    retries."""
     dtype = g.t.dtype
 
-    def _lin(gc):
-        z3 = jnp.zeros((N, 3), dtype)
-        z1 = jnp.zeros((N,), dtype)
+    if device_loop:
+        from surikatoko_tpu.models.ba import lm_device
 
-        def res_flat(dw, dt, dls):
-            return sim3_edge_residuals(gc, dw, dt, dls).reshape(-1)
+        def solve_fn(p, blocks, factor):
+            lam = jnp.maximum(factor, damping)
+            d = _sim3_solve_damped(p, blocks, lam)
+            return d, jnp.zeros((), dtype), jnp.all(jnp.isfinite(d))
 
-        r = res_flat(z3, z3, z1)
-        Jw, Jt, Js = jax.jacfwd(res_flat, argnums=(0, 1, 2))(z3, z3, z1)
-        J = jnp.concatenate([Jw.reshape(r.shape[0], -1),
-                             Jt.reshape(r.shape[0], -1),
-                             Js.reshape(r.shape[0], -1)], axis=1)  # [m,7N]
-        free = jnp.ones((7 * N,), dtype)
-        free = (free.at[0:3].set(0.0)
-                .at[3 * N:3 * N + 3].set(0.0)
-                .at[6 * N].set(0.0))
-        return r, J * free[None, :]
+        g_out, _code, _iters, _err, _tr = jax.jit(
+            lambda g0: lm_device.run_lm_on_device(
+                g0, blocks_fn=_sim3_linearize, solve_fn=solve_fn,
+                apply_fn=lambda p, dX, _du: _sim3_apply_step(p, dX),
+                err_fn=sim3_graph_error, err_thresh=None,
+                max_factor=max_damping, max_iters=iters,
+                initial_factor=damping))(g)
+        return g_out
 
-    def _step(gc, lam):
-        r, J = _lin(gc)
-        H = J.T @ J + (lam + 1e-12) * jnp.eye(7 * N, dtype=dtype)
-        pin = jnp.zeros((7 * N,), dtype)
-        pin = pin.at[0:3].set(1.0).at[3 * N:3 * N + 3].set(1.0).at[6 * N].set(1.0)
-        H = H + jnp.diag(pin)
-        d = -jnp.linalg.solve(H, J.T @ r)
-        dw = d[:3 * N].reshape(N, 3)
-        dt = d[3 * N:6 * N].reshape(N, 3)
-        dls = d[6 * N:]
-        R_new = jax.vmap(lambda w, Rb: so3.exp(w) @ Rb)(dw, gc.R)
-        return gc._replace(R=R_new, t=gc.t + dt, s=gc.s * jnp.exp(dls))
-
-    lm_step = jax.jit(_step)
+    lm_step = jax.jit(
+        lambda gc, lam: _sim3_apply_step(
+            gc, _sim3_solve_damped(gc, _sim3_linearize(gc), lam)))
     lam = damping
     err = float(sim3_graph_error(g))
     for _ in range(iters):

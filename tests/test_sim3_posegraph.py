@@ -122,6 +122,39 @@ def test_se3_graph_cannot_fix_scale_drift():
     assert s.min() < 0.97 or s.max() > 1.03, s
 
 
+def test_sim3_device_loop_matches_host():
+    """The one-dispatch Sim(3) LM (lm_device driver) must recover the same
+    GT ring as the host-driven schedule (round-4 latency work: closures on
+    a remote-attached chip pay per-attempt round-trips in the host path)."""
+    n = 24
+    R_gt, t_gt = _ring_poses(n)
+    R0 = [R_gt[0]]
+    t0 = [t_gt[0]]
+    for k in range(n - 1):
+        rel_R = R_gt[k].T @ R_gt[k + 1]
+        rel_t = R_gt[k].T @ (t_gt[k + 1] - t_gt[k]) * (1.02 ** (k + 1))
+        R0.append(R0[-1] @ rel_R)
+        t0.append(t0[-1] + R0[-2] @ rel_t)
+    edges = []
+    for k in range(n - 1):
+        edges.append((k, k + 1, R_gt[k].T @ R_gt[k + 1],
+                      R_gt[k].T @ (t_gt[k + 1] - t_gt[k]), 1.0, 1.0))
+    for j in (0, 1):
+        i = n - 1
+        Z = sim3_compose(sim3_inverse((1.0, R_gt[i], t_gt[i])),
+                         (1.0, R_gt[j], t_gt[j]))
+        edges.append((i, j, Z[1], Z[2], Z[0], 5.0))
+
+    g0 = make_sim3_graph(np.stack(R0), np.stack(t0), edges)
+    g_h = optimize_sim3_graph(g0, iters=50)
+    g_d = optimize_sim3_graph(g0, iters=50, device_loop=True)
+    e_h = float(sim3_graph_error(g_h))
+    e_d = float(sim3_graph_error(g_d))
+    assert e_d < 1e-9 * max(float(sim3_graph_error(g0)), 1.0), (e_h, e_d)
+    np.testing.assert_allclose(np.asarray(g_d.t), t_gt, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_d.s), 1.0, atol=1e-6)
+
+
 def test_umeyama_robust_ignores_gross_outliers(rng):
     """LMedS similarity fit: ~15% gross-wrong correspondences (the failure
     mode of appearance-based place recognition — 3/45 wrong pairs measured on
