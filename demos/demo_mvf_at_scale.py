@@ -174,18 +174,23 @@ def run_at_scale(args: argparse.Namespace) -> dict:
 
     def render_frame_np(f, ids, pix_true, ok):
         """640x480 frame: textured background + per-landmark splats at the
-        TRUE projections (detection noise perturbs keypoints, not photons)."""
-        img = bg_img.copy()
-        H, W = img.shape
-        ys = np.arange(H)[:, None]
+        TRUE projections (detection noise perturbs keypoints, not photons).
+        Separable contraction Ey^T diag(a) Ex — one [H,K]@[K,W] matmul over
+        all splats (the device renderer's formulation); the per-landmark
+        outer-product loop this replaces cost ~minutes of the closure
+        phase at the 10k scale."""
+        H, W = bg_img.shape
+        ids = np.asarray(ids, int)
+        vis = (np.asarray(ok, bool)
+               & (pix_true[:, 0] >= 0) & (pix_true[:, 0] < W)
+               & (pix_true[:, 1] >= 0) & (pix_true[:, 1] < H))
+        s2 = 2.0 * sigmas[ids % n_pts] ** 2                     # [K]
         xs = np.arange(W)[None, :]
-        for i, p, o in zip(ids, pix_true, ok):
-            if not o or not (0 <= p[0] < W and 0 <= p[1] < H):
-                continue
-            s2 = 2.0 * sigmas[i % n_pts] ** 2
-            ex = np.exp(-(xs[0] - p[0]) ** 2 / s2)
-            ey = np.exp(-(ys[:, 0] - p[1]) ** 2 / s2)
-            img += amps[i % n_pts] * np.outer(ey, ex)
+        ys = np.arange(H)[None, :]
+        ex = np.exp(-(xs - pix_true[:, 0:1]) ** 2 / s2[:, None])  # [K,W]
+        ey = np.exp(-(ys - pix_true[:, 1:2]) ** 2 / s2[:, None])  # [K,H]
+        a = amps[ids % n_pts] * vis
+        img = bg_img + (ey * a[:, None]).T @ ex
         return np.clip(img, 0, 255)
 
     pr_head_obs: list = []      # (image, keypoints, tids) for head frames
