@@ -341,10 +341,10 @@ def run_at_scale(args: argparse.Namespace) -> dict:
               f"reason='{ba.stop_reason}'")
 
     # read back + report
-    pts_np = np.asarray(p_opt.points)
+    pts_np, R_o, t_o = jax.device_get(
+        (p_opt.points, p_opt.cfw_R, p_opt.cfw_t))
     for i, t in enumerate(tids):
         mvf.point_coords[t] = pts_np[i]
-    R_o, t_o = np.asarray(p_opt.cfw_R), np.asarray(p_opt.cfw_t)
     for f in range(n_frames):
         mvf.cam_cfw_R[f], mvf.cam_cfw_t[f] = R_o[f], t_o[f]
 

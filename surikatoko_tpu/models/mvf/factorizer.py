@@ -780,7 +780,10 @@ class MultiViewFactorizer:
         self.last_ba_sparse = True
         if not ok:
             return False
-        pts_o = np.asarray(p_opt.points)
+        # one batched readback (separate np.asarray fetches each pay a
+        # blocking tunnel round-trip)
+        pts_o, R_o, t_o = jax.device_get(
+            (p_opt.points, p_opt.cfw_R, p_opt.cfw_t))
         # only read back points constrained by >=2 in-window observations:
         # a point with a single in-window residual is underdetermined along
         # its viewing ray — the solver moves it freely, and reading that
@@ -791,7 +794,6 @@ class MultiViewFactorizer:
             if n_inwin[i] >= 2:
                 self.point_coords[t] = pts_o[i]
                 self._ba_points.add(int(t))
-        R_o, t_o = np.asarray(p_opt.cfw_R), np.asarray(p_opt.cfw_t)
         for k in range(2, window):         # pinned 0,1 unchanged by solve
             self.cam_cfw_R[base + k] = R_o[k]
             self.cam_cfw_t[base + k] = t_o[k]
@@ -953,12 +955,11 @@ class MultiViewFactorizer:
         self.ba_runs += 1
         if not ok:
             return
-        pts = np.asarray(p_opt.points)
+        pts, R_opt, t_opt = jax.device_get(
+            (p_opt.points, p_opt.cfw_R, p_opt.cfw_t))
         for i, t in enumerate(tids):
             self.point_coords[t] = pts[i]
         self._ba_points.update(int(t) for t in tids)
-        R_opt = np.asarray(p_opt.cfw_R)
-        t_opt = np.asarray(p_opt.cfw_t)
         for f in range(self.frames_count()):
             self.cam_cfw_R[f] = R_opt[f]
             self.cam_cfw_t[f] = t_opt[f]
