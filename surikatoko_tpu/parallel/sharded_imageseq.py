@@ -87,7 +87,6 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
     def kernel(gt_R, gt_t, background, splat_amp, splat_sigma, pts_loc,
                x, P_cam, P_lm, templates_loc, active_loc, unobs_loc, frames):
         dtype = x.dtype
-        D = x.shape[0]
         dev = jax.lax.axis_index("lm")
         col0 = jnp.asarray(_N, jnp.int32) + dev.astype(jnp.int32) * (L * 6)
         r_var = params.measurm_noise_var.astype(dtype)
