@@ -176,6 +176,29 @@ def main() -> None:
         return x2, P2 * 0 + c[1]
     timed("  fused update+health+predict", fused_only, (x, P))
 
+    # ---- recruit stages (the round-4 lifecycle additions) ----
+    from surikatoko_tpu.vision import features
+
+    def detect_only(c):
+        xy, ok = features.detect_corners(
+            img0 + c[0][0] * 1e-30, max_corners=64, nms_radius=5,
+            border=15, quality_level=0.05)
+        return c[0].at[:2].add(xy[0] * 1e-20), c[1]
+    timed("  detect_corners (recruit)", detect_only, (x, P))
+
+    cand0 = jnp.broadcast_to(jnp.asarray([50.0, 50.0], dtype), (12, 2))
+    valid0 = jnp.ones((12,), bool)
+    free0 = jnp.zeros((Kcap,), bool).at[:16].set(True)
+
+    def recruit_only(c):
+        x2, P2, resid, _, slots = (
+            fused_step.fused_update_health_recruit_predict(
+                params, c[0], c[1], obs0, mask0, cand0, valid0, free0,
+                precomputed=(h0, A0, T0),
+                deactivate_mask=jnp.zeros((Kcap,), bool)))
+        return x2, P2 * 0 + c[1]
+    timed("  fused update + RECRUIT(12) + predict", recruit_only, (x, P))
+
 
 if __name__ == "__main__":
     main()
