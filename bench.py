@@ -242,7 +242,9 @@ def main() -> None:
     # mitigated benchmark's horizon with continuous camera motion
     n_ctl = 1 if smoke else 6
     for c in range(n_ctl):
-        lo = 1 + (c % 2) * 160
+        # half-period windows 0..159 / 160..319: a +1 offset would index
+        # frame 320 of the 320-pose scenario (gather clamps silently)
+        lo = (c % 2) * 160
         st_u, (err_u, n_u, pos_u) = run_u(
             st_u, tmpl_u, sc_big,
             jnp.arange(lo, lo + (CH_BIG if smoke else 160)))

@@ -51,27 +51,41 @@ def umeyama_similarity_robust(
 
     N = src.shape[0]
     key = jax.random.PRNGKey(seed)
-    samples = jax.random.randint(key, (iters, 3), 0, N)
+    # Distinct-index triples: top-3 of iid uniforms per hypothesis. Sampling
+    # WITH replacement can draw an all-same-index triple whose degenerate fit
+    # (var_s=0) yields a NaN residual row; jnp.argmin would then select that
+    # NaN median as the "best" hypothesis and poison the whole fit.
+    u = jax.random.uniform(key, (iters, N))
+    _, samples = jax.lax.top_k(u, 3)                    # [iters, 3], distinct
 
     def fit_and_resid(idx):
         s, R, t = umeyama_similarity(src[idx], dst[idx])
         r = jnp.linalg.norm(apply_similarity(s, R, t, src) - dst, axis=1)
-        return r
+        return s, R, t, r
 
-    resid = jax.vmap(fit_and_resid)(samples)            # [iters, N]
+    s_h, R_h, t_h, resid = jax.vmap(fit_and_resid)(samples)  # resid [iters,N]
     med = jnp.median(resid, axis=1)
+    # defense in depth: a (near-)collinear triple can still produce a
+    # non-finite hypothesis — never let it win the argmin
+    med = jnp.where(jnp.isfinite(med), med, jnp.inf)
     best = jnp.argmin(med)
     r_best = resid[best]
-    # MAD-consistent sigma of the best hypothesis's inlier residuals
+    # MAD-consistent sigma of the best hypothesis's inlier residuals; the
+    # floor is RELATIVE to the data scale so float-roundoff residuals on
+    # (near-)exact correspondences still gate as inliers
+    scale_d = jnp.sqrt(jnp.mean(jnp.sum(
+        (dst - jnp.mean(dst, axis=0)) ** 2, axis=1)))
+    sigma_floor = jnp.maximum(1e-5 * scale_d, 1e-12)
     sigma = 1.4826 * jnp.median(jnp.abs(r_best - jnp.median(r_best)))
-    thresh = inlier_scale * jnp.maximum(sigma, 1e-12)
+    thresh = inlier_scale * jnp.maximum(sigma, sigma_floor)
     inliers = r_best <= jnp.maximum(thresh, jnp.min(r_best))
 
     def refit(carry, _):
-        inl, _, _, _ = carry
+        inl, s0, R0, t0 = carry
         w = inl.astype(src.dtype)[:, None]
+        n_inl = jnp.sum(w)
         # weighted Umeyama via masked means (zero-weight rows drop out)
-        n = jnp.maximum(jnp.sum(w), 3.0)
+        n = jnp.maximum(n_inl, 3.0)
         mu_s = jnp.sum(src * w, axis=0) / n
         mu_d = jnp.sum(dst * w, axis=0) / n
         d_s, d_d = src - mu_s, dst - mu_d
@@ -81,16 +95,22 @@ def umeyama_similarity_robust(
         D = jnp.asarray([1.0, 1.0, 1.0], cov.dtype).at[2].set(d)
         R = U @ jnp.diag(D) @ Vt
         var_s = jnp.sum(jnp.sum(d_s * d_s, axis=1) * w[:, 0]) / n
-        s = jnp.sum(S * D) / var_s
+        # var_s can be 0 when <3 inliers survive a gate (weights all zero)
+        s = jnp.sum(S * D) / jnp.maximum(var_s, 1e-12)
         t = mu_d - s * (R @ mu_s)
+        # keep the previous fit when the refit is under-determined/non-finite
+        ok = ((n_inl >= 3.0) & jnp.isfinite(s)
+              & jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t)))
+        s = jnp.where(ok, s, s0)
+        R = jnp.where(ok, R, R0)
+        t = jnp.where(ok, t, t0)
         r = jnp.linalg.norm(apply_similarity(s, R, t, src) - dst, axis=1)
         sg = 1.4826 * jnp.median(jnp.abs(r - jnp.median(r)))
-        inl2 = r <= jnp.maximum(inlier_scale * jnp.maximum(sg, 1e-12),
+        inl2 = r <= jnp.maximum(inlier_scale * jnp.maximum(sg, sigma_floor),
                                 jnp.min(r))
         return (inl2, s, R, t), None
 
-    init = (inliers, jnp.asarray(1.0, src.dtype),
-            jnp.eye(3, dtype=src.dtype), jnp.zeros((3,), src.dtype))
+    init = (inliers, s_h[best], R_h[best], t_h[best])
     (inliers, s, R, t), _ = jax.lax.scan(refit, init, None, length=refits)
     return s, R, t, inliers
 

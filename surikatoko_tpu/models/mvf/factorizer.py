@@ -866,6 +866,15 @@ class MultiViewFactorizer:
             s_u, R_u, t_u, inl = umeyama_similarity_robust(
                 jnp.asarray(A), jnp.asarray(B))
             self.last_closure_inliers = int(np.sum(np.asarray(inl)))
+            if not (np.isfinite(float(s_u))
+                    and np.all(np.isfinite(np.asarray(R_u)))
+                    and np.all(np.isfinite(np.asarray(t_u)))):
+                # a NaN Sim(3) edge would make the pose-graph LM reject
+                # every step: the closure would silently no-op while
+                # returning ok=True — fall back to the plain LS fit
+                s_u, R_u, t_u = umeyama_similarity(
+                    jnp.asarray(A), jnp.asarray(B))
+                self.last_closure_inliers = n_meas
         else:
             s_u, R_u, t_u = umeyama_similarity(jnp.asarray(A), jnp.asarray(B))
             self.last_closure_inliers = n_meas
