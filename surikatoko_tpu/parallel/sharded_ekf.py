@@ -93,7 +93,8 @@ def _local_update_kernel(params: MonoSlamParams, K: int,
 
 def _local_fused_kernel(params: MonoSlamParams, K: int,
                         x, P_cam, P_lm, lms, obs, obs_mask,
-                        precomputed=None, deactivate_loc=None):
+                        precomputed=None, deactivate_loc=None,
+                        recruit=None):
     """shard_map body for the FUSED frame (update + health + predict as one
     covariance congruence, models/monoslam/fused_step.py). Same distributed
     structure as _local_update_kernel — one all_gather of the gain precursor
@@ -107,7 +108,22 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
     built for the NCC search-ellipse prediction (the sharded twin of the
     single-device precomputed path); masking is an exact row scaling.
     ``deactivate_loc`` ([L] bool) folds the delete-unobserved policy into
-    the keep congruence, like the single-device deactivate_mask."""
+    the keep congruence, like the single-device deactivate_mask.
+
+    ``recruit`` optionally carries (new_pix [M,2] REPLICATED candidate
+    pixels, new_valid [M] replicated, free_loc [L] bool LOCAL free slots)
+    and splices per-frame landmark RECRUITMENT into the congruence — the
+    sharded twin of fused_step.fused_update_health_recruit_predict
+    (reference ProcessFrame davison-mono-slam.cpp:923 ->
+    RecruitNewSalientPoints :1812 -> AddSalientPoint :2597). The recruit
+    math is REPLICATED for free: a new slot's covariance rows need only the
+    top-7 posterior rows, recoverable from the replicated P_cam stripe and
+    the replicated whitened gain B — no collective beyond one tiny
+    all_gather of the free masks for globally-consistent first-free slot
+    assignment. Only the row/col scatter is distributed: the owner device
+    writes the recruited rows, every device writes the recruited columns
+    into its own rows. When set, the kernel returns a sixth output
+    ``slots`` [M] (global slot ids, -1 where not added)."""
     dtype = x.dtype
     D = x.shape[0]
     L = lms.shape[0]
@@ -164,7 +180,8 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
     kc, km = keep[:_N], keep[_N:]
 
     from surikatoko_tpu.models.monoslam.fused_step import camera_epilogue
-    x_next, Cp, G = camera_epilogue(params, x1, K)[:3]
+    epi = camera_epilogue(params, x1, K)
+    x_next, Cp, G = epi.x_next, epi.Cp, epi.G
 
     # fused covariance P+ = V P V^T - (B V^T)^T (B V^T) + GQG (replicated
     # camera stripe; landmark rows local)
@@ -202,9 +219,78 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
         dgl = lm_cols[rows, cols]
         lm_cols = lm_cols.at[rows, cols].add(
             jnp.where(dgl > 0, infl * km_own, 0.0))
-    P_lm_new = jnp.concatenate([cam_cols, lm_cols], axis=1).reshape(L, 6, D)
+    Pl_new = jnp.concatenate([cam_cols, lm_cols], axis=1)        # [6L, D]
 
-    return x_next, P_cam_new, P_lm_new, resid_loc, x1
+    if recruit is None:
+        return x_next, P_cam_new, Pl_new.reshape(L, 6, D), resid_loc, x1
+
+    # ---- recruit splice (replicated math, distributed scatter) ----
+    from surikatoko_tpu.models.monoslam import landmarks as lm_mod
+    from surikatoko_tpu.models.monoslam.fused_step import assign_free_slots
+
+    new_pix, new_valid, free_loc = recruit
+    M = new_pix.shape[0]
+
+    # top-7 rows of the post-health, post-renorm posterior — replicated:
+    # P[:7,:] is the replicated camera stripe, B the replicated gain
+    # (identical formula to fused_update_health_recruit_predict)
+    rows7 = (P_cam[:7, :] - B[:, :7].T @ B) * (kc[:7, None] * keep[None, :])
+    rows7 = rows7.at[3:7, :].set(epi.Jq @ rows7[3:7, :])
+    rows7 = rows7.at[:, 3:7].set(rows7[:, 3:7] @ epi.Jq.T)
+    P77 = 0.5 * (rows7[:, :7] + rows7[:, :7].T)
+    cam_pq = epi.x2[:7]
+
+    rho0 = params.sal_pnt_init_inv_dist.astype(dtype)
+    g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
+
+    def one(pix):
+        y = g_rho(cam_pq, pix, rho0)
+        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, rho0)
+        return y, Jc, Jp, Jr
+
+    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(new_pix)
+    rho_var = params.sal_pnt_init_inv_dist_std.astype(dtype) ** 2
+    JcP77 = jnp.einsum("mij,jk->mik", Jc_m, P77)
+    auto_m = (jnp.einsum("mik,mjk->mij", JcP77, Jc_m)
+              + r_var * jnp.einsum("mik,mjk->mij", Jp_m, Jp_m)
+              + rho_var * jnp.einsum("mi,mj->mij", Jr_m, Jr_m))
+    cross_m = jnp.einsum("mij,jd->mid", Jc_m, rows7)             # [M,6,D]
+    newnew = jnp.einsum("mik,njk->minj", JcP77, Jc_m)
+    eye_m = jnp.eye(M, dtype=bool)
+    blocks = jnp.where(eye_m[:, None, :, None],
+                       auto_m[:, :, None, :], newnew)
+
+    # globally-consistent first-free slot assignment: slots are laid out
+    # device-major, so concatenating the per-device free masks preserves
+    # the single-device first-free order exactly
+    free_all = jax.lax.all_gather(free_loc, "lm", tiled=True)    # [K]
+    slots, valid = assign_free_slots(free_all, new_valid)
+    v6 = jnp.repeat(valid, 6)
+    offs = _N + jnp.where(valid, slots, 0) * 6
+    idx = (offs[:, None] + jnp.arange(6)[None, :]).reshape(-1)   # [6M]
+    idx_safe = jnp.where(v6, idx, D)
+
+    Rfull = cross_m.reshape(6 * M, D)
+    vvT = valid[:, None, None, None] & valid[None, None, :, None]
+    colvals = jnp.where(vvT, blocks, 0.0).reshape(6 * M, 6 * M)
+    colvals = 0.5 * (colvals + colvals.T)
+    Rfull = Rfull.at[:, idx_safe].set(colvals, mode="drop")
+    Rt = Rfull.at[:, :_N].set(Rfull[:, :_N] @ epi.F.T)           # predicted
+
+    # scatter — same row-then-column order as the single-chip fused recruit
+    x_next = x_next.at[idx_safe].set(y_m.reshape(6 * M), mode="drop")
+    P_cam_new = P_cam_new.at[:, idx_safe].set(Rt[:, :_N].T, mode="drop")
+    # recruited ROWS: owned by one device (a slot's 6 rows never split)
+    comp_own = v6 & (idx >= col0) & (idx < col0 + L * 6)
+    idx_loc = jnp.where(comp_own, idx - col0, L * 6)
+    Pl_new = Pl_new.at[idx_loc, :].set(Rt, mode="drop")
+    # recruited COLUMNS of the local rows: P[r, idx] = Rt[:, r]^T for the
+    # global row range this device owns
+    col_block = jax.lax.dynamic_slice(
+        Rt, (jnp.zeros((), jnp.int32), col0), (6 * M, L * 6)).T  # [6L, 6M]
+    Pl_new = Pl_new.at[:, idx_safe].set(col_block, mode="drop")
+
+    return x_next, P_cam_new, Pl_new.reshape(L, 6, D), resid_loc, x1, slots
 
 
 def make_sharded_fused_step(params: MonoSlamParams, capacity: int, mesh: Mesh):

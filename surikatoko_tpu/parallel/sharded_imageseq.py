@@ -71,28 +71,54 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
                                  min_corr_coeff: float = 0.6,
                                  chi2_gate: float = 5.99146,
                                  use_pallas: bool = False,
-                                 subpixel: bool = False):
+                                 subpixel: bool = False,
+                                 recruit: bool = False,
+                                 recruit_max: int = 8,
+                                 detector_corners: int = 24,
+                                 detector_quality: float = 0.05,
+                                 detector_nms_radius: int = 5,
+                                 recruit_min_dist: float = 14.0,
+                                 target_active: int | None = None):
     """Returns a jitted (x, P, templates [K,T,T], lm_active [K],
     lm_unobserved [K], sc: ImageSeqDeviceScenario, frames [T]) ->
     (x, P, lm_active, lm_unobserved, (err [T], n_matched [T], cam_pos [T,3]))
     running the full imageseq closed loop landmark-sharded over ``mesh``'s
     "lm" axis. Scenario gt_points must have exactly ``capacity`` rows
-    (slot k <-> splat k, as in device_runner.init_imageseq)."""
+    (slot k <-> splat k, as in device_runner.init_imageseq).
+
+    ``recruit=True`` closes the landmark LIFECYCLE multi-chip — the sharded
+    twin of device_runner.make_imageseq_scan_runner(recruit=True) (reference
+    hot path RecruitNewSalientPoints, davison-mono-slam.cpp:923/:1812/:2597).
+    The recruit composition is genuinely distributed: the detector runs on
+    the psum-assembled frame (replicated — it is one image), candidate
+    suppression compares against ALL shards' tracked positions (one tiny
+    all_gather of predicted centers), slot assignment gathers the per-shard
+    free masks so every device agrees on the first-free order, and the
+    recruited covariance rows splice into the sharded fused congruence
+    (sharded_ekf._local_fused_kernel's recruit path) with the owner device
+    writing rows and every device writing its own columns. The signature
+    changes: pass lm_generation too, and get (x, P, templates, lm_active,
+    lm_unobserved, lm_generation, (err, n_matched, cam_pos, n_recruited,
+    n_active)) back — templates now evolve on device."""
     from surikatoko_tpu.ops.ncc import ncc_search
+    from surikatoko_tpu.vision import features
+    from surikatoko_tpu.world.device_runner import _gather_templates
 
     n_dev = mesh.devices.size
     assert capacity % n_dev == 0, (capacity, n_dev)
     L = capacity // n_dev
 
     def kernel(gt_R, gt_t, background, splat_amp, splat_sigma, pts_loc,
-               x, P_cam, P_lm, templates_loc, active_loc, unobs_loc, frames):
+               x, P_cam, P_lm, templates_loc, active_loc, unobs_loc, gen_loc,
+               frames):
         dtype = x.dtype
         dev = jax.lax.axis_index("lm")
         col0 = jnp.asarray(_N, jnp.int32) + dev.astype(jnp.int32) * (L * 6)
         r_var = params.measurm_noise_var.astype(dtype)
 
         def frame_body(carry, f):
-            x, P_cam, P_lm, active_loc, unobs_loc = carry
+            x, P_cam, P_lm, templates_loc, active_loc, unobs_loc, gen_loc \
+                = carry
 
             # ---- distributed render: one psum assembles the frame ----
             part = _render_local(params, background, splat_amp, splat_sigma,
@@ -146,6 +172,60 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
                         & active_loc)
             active_loc = active_loc & ~drop_loc
 
+            if recruit:
+                # ---- distributed recruitment: detector on the assembled
+                # frame (replicated), suppression vs ALL shards' tracked
+                # positions, globally-consistent slot assignment ----
+                cand_xy, cand_ok = features.detect_corners(
+                    img, max_corners=detector_corners,
+                    nms_radius=detector_nms_radius, border=templ_width,
+                    quality_level=detector_quality)
+                cur_pos_loc = jnp.where(res.matched[:, None], obs_loc, h_loc)
+                cur_pos_all = jax.lax.all_gather(
+                    cur_pos_loc, "lm", tiled=True)               # [K,2]
+                active_all = jax.lax.all_gather(
+                    active_loc, "lm", tiled=True)                # [K]
+                cand_ok = features.filter_out_closest(
+                    cand_xy, cand_ok, cur_pos_all, active_all,
+                    recruit_min_dist)
+                sel = jnp.argsort(
+                    jnp.logical_not(cand_ok).astype(jnp.int32),
+                    stable=True)[:recruit_max]
+                new_pix = cand_xy[sel].astype(dtype)
+                new_valid = cand_ok[sel]
+                if target_active is not None:
+                    n_act = jnp.sum(active_all.astype(jnp.int32))
+                    budget = jnp.clip(target_active - n_act, 0, recruit_max)
+                    new_valid = jnp.logical_and(
+                        new_valid, jnp.arange(recruit_max) < budget)
+                (x_next, P_cam_new, P_lm_new, resid_loc, x1,
+                 slots) = _local_fused_kernel(
+                    params, capacity, x, P_cam, P_lm, lms_loc, obs_loc,
+                    mask_loc, precomputed=(h_loc, Hcam_un, Hlm_un, A_un),
+                    deactivate_loc=drop_loc,
+                    recruit=(new_pix, new_valid,
+                             jnp.logical_not(active_loc)))
+                # local bookkeeping for slots this device owns
+                slot0 = dev.astype(jnp.int32) * L
+                owned = (slots >= 0) & (slots >= slot0) & (slots < slot0 + L)
+                slot_loc = jnp.where(owned, slots - slot0, L)
+                active_loc = active_loc.at[slot_loc].set(True, mode="drop")
+                unobs_loc = unobs_loc.at[slot_loc].set(0, mode="drop")
+                gen_loc = gen_loc.at[slot_loc].add(1, mode="drop")
+                tmpl_new = _gather_templates(img, new_pix, templ_width)
+                templates_loc = templates_loc.at[slot_loc].set(
+                    tmpl_new.astype(templates_loc.dtype), mode="drop")
+                n = jax.lax.psum(jnp.sum(mask_loc.astype(jnp.int32)), "lm")
+                err = (jax.lax.psum(
+                    jnp.sum(jnp.linalg.norm(resid_loc, axis=-1)), "lm")
+                    / jnp.maximum(n, 1))
+                n_rec = jnp.sum((slots >= 0).astype(jnp.int32))
+                n_active = jax.lax.psum(
+                    jnp.sum(active_loc.astype(jnp.int32)), "lm")
+                carry = (x_next, P_cam_new, P_lm_new, templates_loc,
+                         active_loc, unobs_loc, gen_loc)
+                return carry, (err, n, x1[:3], n_rec, n_active)
+
             # ---- sharded fused update + health + predict, REUSING the
             # perception A rows (one all_gather of the gain precursor) ----
             x_next, P_cam_new, P_lm_new, resid_loc, x1 = _local_fused_kernel(
@@ -157,33 +237,58 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
             err = (jax.lax.psum(
                 jnp.sum(jnp.linalg.norm(resid_loc, axis=-1)), "lm")
                 / jnp.maximum(n, 1))
-            carry = (x_next, P_cam_new, P_lm_new, active_loc, unobs_loc)
+            carry = (x_next, P_cam_new, P_lm_new, templates_loc,
+                     active_loc, unobs_loc, gen_loc)
             return carry, (err, n, x1[:3])
 
-        carry0 = (x, P_cam, P_lm, active_loc, unobs_loc)
-        (x, P_cam, P_lm, active_loc, unobs_loc), outs = jax.lax.scan(
-            frame_body, carry0, frames)
-        return x, P_cam, P_lm, active_loc, unobs_loc, outs
+        carry0 = (x, P_cam, P_lm, templates_loc, active_loc, unobs_loc,
+                  gen_loc)
+        (x, P_cam, P_lm, templates_loc, active_loc, unobs_loc,
+         gen_loc), outs = jax.lax.scan(frame_body, carry0, frames)
+        return (x, P_cam, P_lm, templates_loc, active_loc, unobs_loc,
+                gen_loc, outs)
 
+    out_scalar = (P(), P(), P(), P(), P()) if recruit else (P(), P(), P())
     smapped = shard_map(
         kernel,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P("lm"),
-                  P(), P(), P("lm"), P("lm"), P("lm"), P("lm"), P()),
-        out_specs=(P(), P(), P("lm"), P("lm"), P("lm"),
-                   (P(), P(), P())),
+                  P(), P(), P("lm"), P("lm"), P("lm"), P("lm"), P("lm"),
+                  P()),
+        out_specs=(P(), P(), P("lm"), P("lm"), P("lm"), P("lm"), P("lm"),
+                   out_scalar),
         check_rep=False,
     )
+
+    if recruit:
+        @jax.jit
+        def run_recruit(x, Pmat, templates, lm_active, lm_unobserved,
+                        lm_generation, sc, frames):
+            D = x.shape[0]
+            P_cam = Pmat[:_N, :]
+            P_lm = Pmat[_N:, :].reshape(capacity, 6, D)
+            (x, P_cam, P_lm, templates, active, unobs, gen,
+             outs) = smapped(
+                sc.gt_cfw_R, sc.gt_cfw_t, sc.background, sc.splat_amp,
+                sc.splat_sigma, sc.gt_points,
+                x, P_cam, P_lm, templates, lm_active, lm_unobserved,
+                lm_generation, frames)
+            P_new = jnp.concatenate([P_cam, P_lm.reshape(-1, D)], axis=0)
+            return x, P_new, templates, active, unobs, gen, outs
+
+        return run_recruit
 
     @jax.jit
     def run(x, Pmat, templates, lm_active, lm_unobserved, sc, frames):
         D = x.shape[0]
         P_cam = Pmat[:_N, :]
         P_lm = Pmat[_N:, :].reshape(capacity, 6, D)
-        x, P_cam, P_lm, active, unobs, outs = smapped(
+        gen0 = jnp.zeros((capacity,), jnp.int32)
+        x, P_cam, P_lm, _tm, active, unobs, _gen, outs = smapped(
             sc.gt_cfw_R, sc.gt_cfw_t, sc.background, sc.splat_amp,
             sc.splat_sigma, sc.gt_points,
-            x, P_cam, P_lm, templates, lm_active, lm_unobserved, frames)
+            x, P_cam, P_lm, templates, lm_active, lm_unobserved, gen0,
+            frames)
         P_new = jnp.concatenate([P_cam, P_lm.reshape(-1, D)], axis=0)
         return x, P_new, active, unobs, outs
 
