@@ -36,7 +36,11 @@ Extra keys recorded alongside the headline number:
                          banded solve only)
   dino_ba_iters_per_s    device-loop LM rate on the reference's full dino
                          shape (36 frames x 4983 tracks, real-format
-                         synthetic through io/dino.py's parse path)
+                         synthetic through io/dino.py's parse path) on the
+                         track-major SPARSE store (the real tracks average
+                         ~3.6 obs / 36 frames; full-width Schur, band=False
+                         — at F=36 the reduced system is 360x360 and the
+                         wrap-around turntable tracks would defeat banding)
   dino_map_ate           its converged map ATE vs GT
   mvf_*                  MVF at-scale closed loop (incremental SfM +
                          windowed/global BA + oracle-free Sim(3) closure)
@@ -375,10 +379,9 @@ def main() -> None:
     # full 36x4983 shape (demo-bundle-adj-dinosaur.cpp:97,:116) as the
     # real-format synthetic through the REAL parse path (io/dino.py),
     # f32 on-chip, device-loop LM ----
-    _progress("dino 36x4983 full-shape BA (real-format parse path)")
+    _progress("dino 36x4983 full-shape BA (real-format parse path, sparse LM)")
     import tempfile
     from surikatoko_tpu.io import dino as dino_mod
-    from surikatoko_tpu.models.ba import BundleAdjustment
     n_dino = 500 if smoke else 4983
     Ps_d, obs_d, mask_d, gt_d = dino_mod.synthetic_dino_raw(
         n_frames=36, n_points=n_dino, vary_track_len=True)
@@ -386,9 +389,16 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         dino_mod.write_dino_files(td, Ps_d, obs_d[keep_d], mask_d[keep_d],
                                   gt_points=gt_d[keep_d])
-        p_dino = dino_mod.load_dino_problem(td, f0=600.0)
+        # track-major sparse store: the real dino tracks average ~3.6 obs
+        # over 36 frames (dense grid ~10% occupied) — exactly the sparse
+        # LM's case. The dense path stays as a parity test
+        # (tests/test_io_fixtures.py::test_load_dino_problem_sparse_...)
+        p_dino, fidx_d, tmask_d = dino_mod.load_dino_problem_sparse(
+            td, f0=600.0)
         gt_dino = dino_mod.load_gt_points(td)
-    ba_dino = BundleAdjustment(device_loop=True)
+    ba_dino = SparseBundleAdjustment(device_loop=True, band=False,
+                                     point_chunk=1024)
+    ba_dino.set_plan_inputs(fidx_d, tmask_d)
     term_dino = TermCriteria(allowed_reproj_err_rel_change=None,
                              max_iters=3 if smoke else 8)
     ok_d, p_d1 = ba_dino.compute_inplace(p_dino, term_dino)   # compile+warm

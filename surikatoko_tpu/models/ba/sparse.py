@@ -55,6 +55,29 @@ class BAProblemSparse(NamedTuple):
         return self.obs.shape[1]
 
 
+def dense_obs_to_tracks(obs, obs_mask):
+    """Host-side vectorized dense-grid -> track-major conversion: numpy
+    (obs [Np,F,2], mask [Np,F]) -> (obs_s [Np,L,2], frame_idx [Np,L] int32,
+    track_mask [Np,L]) with L = max track length. Pure numpy — callers on a
+    remote-attached TPU hand in HOST copies so no device->host fetch
+    happens (see SparseBundleAdjustment.set_plan_inputs)."""
+    import numpy as np
+
+    obs = np.asarray(obs)
+    mask = np.asarray(obs_mask, bool)
+    Np, F = mask.shape
+    L = max(int(mask.sum(axis=1).max()), 1)
+    # stable argsort of ~mask puts each row's visible frames first, in
+    # ascending frame order — the same layout the per-row loop produced
+    order = np.argsort(~mask, axis=1, kind="stable")[:, :L]
+    counts = mask.sum(axis=1)
+    track_mask = np.arange(L)[None, :] < counts[:, None]
+    fidx = np.where(track_mask, order, 0).astype(np.int32)
+    obs_s = np.take_along_axis(obs, fidx[..., None], axis=1)
+    obs_s = np.where(track_mask[..., None], obs_s, 0.0)
+    return obs_s, fidx, track_mask
+
+
 def from_dense(p) -> BAProblemSparse:
     """Convert a dense BAProblem (host-side; for tests/parity)."""
     import numpy as np

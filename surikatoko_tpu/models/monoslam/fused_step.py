@@ -205,6 +205,33 @@ def _fused_covariance_predict(params, x, P, B, keep, x_next, Cp, G,
     return x_next, P_next, resid, x1
 
 
+def median_tracked_inv_depth(params: MonoSlamParams, x: jnp.ndarray,
+                             active: jnp.ndarray, Kcap: int) -> jnp.ndarray:
+    """Scene-adaptive recruit depth: the (lower) median inverse depth of the
+    currently-ACTIVE landmarks, clipped around the configured prior, falling
+    back to the prior when nothing is tracked or the median is unusable.
+
+    The reference initializes recruits from a flat configured prior
+    (GetNewSphericalSalientPointState :2398) and relies on repeated
+    observation to converge the depth; with a wide-sweep world the flat 0.5
+    prior can sit far from the true scene depth, and every recruit starts
+    with a large depth error that the filter must burn frames correcting
+    (measured ATE 0.216 vs 0.087 no-churn at K=768, VERDICT r4 item 2). The
+    tracked slots already KNOW the scene's depth scale — their median is a
+    far better prior and costs one masked sort. Spherical representation
+    only (rho is state component 5); XYZ falls back to the prior."""
+    prior = params.sal_pnt_init_inv_dist.astype(x.dtype)
+    if params.sal_pnt_repres != REPRES_SPHERICAL:
+        return prior
+    rho = x[_N:].reshape(Kcap, 6)[:, 5]
+    vals = jnp.where(active & (rho > 0) & jnp.isfinite(rho), rho, jnp.inf)
+    srt = jnp.sort(vals)
+    n_ok = jnp.sum(jnp.isfinite(vals).astype(jnp.int32))
+    med = srt[jnp.maximum((n_ok - 1) // 2, 0)]
+    ok = (n_ok > 0) & jnp.isfinite(med)
+    return jnp.where(ok, jnp.clip(med, 0.05 * prior, 20.0 * prior), prior)
+
+
 def assign_free_slots(free_mask: jnp.ndarray, new_valid: jnp.ndarray
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Slot assignment for a batch of recruit candidates: the j-th VALID
@@ -230,6 +257,7 @@ def fused_update_health_recruit_predict(
                                 # computes ~active AFTER the delete policy)
     *, precomputed: tuple | None = None,
     deactivate_mask: jnp.ndarray | None = None,
+    rho0: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``fused_update_health_predict`` with per-frame landmark RECRUITMENT
     spliced in at the reference's point in the pipeline: update -> health ->
@@ -256,9 +284,11 @@ def fused_update_health_recruit_predict(
     tests/test_recruit_fused.py.
 
     Returns (x_next, P_next, resid, x_post_update, slots [M] int32 with -1
-    where the candidate was not added). New-slot depth is the configured
-    prior ``sal_pnt_init_inv_dist`` (NOT ground truth — reference
-    GetNewSphericalSalientPointState :2398 semantics).
+    where the candidate was not added). New-slot depth defaults to the
+    configured prior ``sal_pnt_init_inv_dist`` (NOT ground truth — reference
+    GetNewSphericalSalientPointState :2398 semantics); ``rho0`` overrides it
+    with a traced scalar (e.g. the median tracked inverse depth — a
+    scene-adaptive prior the caller computes from the live filter state).
     """
     from surikatoko_tpu.models.monoslam import landmarks as lm_mod
 
@@ -285,12 +315,14 @@ def fused_update_health_recruit_predict(
     cam_pq = epi.x2[:7]                                 # post-renorm camera
 
     # --- batched new-landmark linearization (A.58 + A.67-A.79, landmarks.py)
-    rho0 = params.sal_pnt_init_inv_dist.astype(dtype)
-    g = lambda c, p: lm_mod.new_landmark_state(params, c, p, rho0)
+    if rho0 is None:
+        rho0 = params.sal_pnt_init_inv_dist.astype(dtype)
+    else:
+        rho0 = rho0.astype(dtype)
     g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
 
     def one(pix):
-        y = g(cam_pq, pix)
+        y = g_rho(cam_pq, pix, rho0)
         Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, rho0)
         return y, Jc, Jp, Jr
 

@@ -111,8 +111,9 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
     the keep congruence, like the single-device deactivate_mask.
 
     ``recruit`` optionally carries (new_pix [M,2] REPLICATED candidate
-    pixels, new_valid [M] replicated, free_loc [L] bool LOCAL free slots)
-    and splices per-frame landmark RECRUITMENT into the congruence — the
+    pixels, new_valid [M] replicated, free_loc [L] bool LOCAL free slots,
+    rho0 replicated scalar inverse-depth prior or None for the configured
+    one) and splices per-frame landmark RECRUITMENT into the congruence — the
     sharded twin of fused_step.fused_update_health_recruit_predict
     (reference ProcessFrame davison-mono-slam.cpp:923 ->
     RecruitNewSalientPoints :1812 -> AddSalientPoint :2597). The recruit
@@ -228,7 +229,7 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
     from surikatoko_tpu.models.monoslam import landmarks as lm_mod
     from surikatoko_tpu.models.monoslam.fused_step import assign_free_slots
 
-    new_pix, new_valid, free_loc = recruit
+    new_pix, new_valid, free_loc, rho0_in = recruit
     M = new_pix.shape[0]
 
     # top-7 rows of the post-health, post-renorm posterior — replicated:
@@ -240,7 +241,8 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
     P77 = 0.5 * (rows7[:, :7] + rows7[:, :7].T)
     cam_pq = epi.x2[:7]
 
-    rho0 = params.sal_pnt_init_inv_dist.astype(dtype)
+    rho0 = (params.sal_pnt_init_inv_dist.astype(dtype) if rho0_in is None
+            else rho0_in.astype(dtype))
     g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
 
     def one(pix):

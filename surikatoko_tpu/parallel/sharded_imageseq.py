@@ -78,7 +78,8 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
                                  detector_quality: float = 0.05,
                                  detector_nms_radius: int = 5,
                                  recruit_min_dist: float = 14.0,
-                                 target_active: int | None = None):
+                                 target_active: int | None = None,
+                                 recruit_depth: str = "prior"):
     """Returns a jitted (x, P, templates [K,T,T], lm_active [K],
     lm_unobserved [K], sc: ImageSeqDeviceScenario, frames [T]) ->
     (x, P, lm_active, lm_unobserved, (err [T], n_matched [T], cam_pos [T,3]))
@@ -100,10 +101,14 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
     changes: pass lm_generation too, and get (x, P, templates, lm_active,
     lm_unobserved, lm_generation, (err, n_matched, cam_pos, n_recruited,
     n_active)) back — templates now evolve on device."""
+    from surikatoko_tpu.models.monoslam.fused_step import (
+        median_tracked_inv_depth)
     from surikatoko_tpu.ops.ncc import ncc_search
     from surikatoko_tpu.vision import features
     from surikatoko_tpu.world.device_runner import _gather_templates
 
+    if recruit_depth not in ("prior", "median"):
+        raise ValueError(f"unknown recruit_depth {recruit_depth!r}")
     n_dev = mesh.devices.size
     assert capacity % n_dev == 0, (capacity, n_dev)
     L = capacity // n_dev
@@ -198,13 +203,19 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
                     budget = jnp.clip(target_active - n_act, 0, recruit_max)
                     new_valid = jnp.logical_and(
                         new_valid, jnp.arange(recruit_max) < budget)
+                # scene-adaptive depth prior: x is replicated and active_all
+                # already gathered, so the median is computed identically on
+                # every device (bitwise parity with the single-device runner)
+                rho0 = (median_tracked_inv_depth(params, x, active_all,
+                                                 capacity)
+                        if recruit_depth == "median" else None)
                 (x_next, P_cam_new, P_lm_new, resid_loc, x1,
                  slots) = _local_fused_kernel(
                     params, capacity, x, P_cam, P_lm, lms_loc, obs_loc,
                     mask_loc, precomputed=(h_loc, Hcam_un, Hlm_un, A_un),
                     deactivate_loc=drop_loc,
                     recruit=(new_pix, new_valid,
-                             jnp.logical_not(active_loc)))
+                             jnp.logical_not(active_loc), rho0))
                 # local bookkeeping for slots this device owns
                 slot0 = dev.astype(jnp.int32) * L
                 owned = (slots >= 0) & (slots >= slot0) & (slots < slot0 + L)
