@@ -78,6 +78,11 @@ def main() -> None:
         "g": (dict(recruit_depth="prior", subpixel=True), 120, 12),
         # churn-rate ladder: fewer recruits/frame = better-observed ones
         "h": (dict(recruit_depth="prior", subpixel=False), 30, 6),
+        # controls: is the ATE churn-caused at all, or is the wide world
+        # just harder? i = stranded (delete on, no recruit); j = frozen
+        # set (no delete, no recruit — the unmitigated control + inflation)
+        "i": (dict(recruit=False), 30, 0),
+        "j": (dict(recruit=False), 0, 0),
     }
     for v in args.variants.split(","):
         cfg, max_undet, rec_max = cfgs[v]
@@ -85,19 +90,33 @@ def main() -> None:
         st = init_state(K_big, dtype=dtype)
         st, templates = jax.jit(lambda s: init_imageseq(
             params_v, sc_big, s, 15))(st)
+        kw = dict(recruit=True, recruit_max=max(rec_max, 1),
+                  detector_corners=64)
+        kw.update(cfg)
+        recruiting = kw["recruit"]
         run = make_imageseq_scan_runner(
-            params_v, templ_width=15, recruit=True, recruit_max=rec_max,
-            detector_corners=64, use_pallas=not args.smoke, **cfg)
+            params_v, templ_width=15, use_pallas=not args.smoke, **kw)
         t0 = time.time()
-        st_w, tm_w, _ = run(st, templates, sc_big, fr_warm)
+        if recruiting:
+            st_w, tm_w, _ = run(st, templates, sc_big, fr_warm)
+        else:
+            st_w, _ = run(st, templates, sc_big, fr_warm)
+            tm_w = templates
         _ = float(jnp.sum(st_w.x))
         t_warm = time.time() - t0
         t0 = time.time()
-        st2, _, (err, n, pos, nrec, nact) = run(st_w, tm_w, sc_big, fr_timed)
+        if recruiting:
+            st2, _, (err, n, pos, nrec, nact) = run(st_w, tm_w, sc_big,
+                                                    fr_timed)
+        else:
+            st2, (err, n, pos) = run(st_w, tm_w, sc_big, fr_timed)
+            nrec = jnp.zeros((1,), jnp.int32)
+            nact = jnp.sum(st2.lm_active.astype(jnp.int32))[None]
         _ = float(jnp.sum(st2.x))
         t_run = time.time() - t0
         ate = float(aligned_rmse(pos, gt_pos))
-        print(f"variant {v} {cfg}: ate={ate:.4f} "
+        print(f"variant {v} mu={max_undet} rm={rec_max} {cfg}: "
+              f"ate={ate:.4f} "
               f"matched_med={int(jnp.median(n))} "
               f"recruits={int(jnp.sum(nrec))} "
               f"active_med={int(jnp.median(nact))} "

@@ -19,6 +19,10 @@ Extra keys recorded alongside the headline number:
                          steady-state landmark churn (BASELINE configs[3]);
                          fps / ATE / matched / recruited / active / slot-
                          generation keys
+  imageseq_ate_norecuit_k768  no-recruit control on the SAME wide world:
+                         recruitment must track strictly better (asserted,
+                         along with an absolute churned-ATE bound < 0.25 —
+                         r4's "churn costs 2.5x" compared different worlds)
   unmitigated_f32_*      control: the same loop with the f32 conditioning
                          mitigations OFF, run past the ~120-frame failure
                          horizon — must degrade (the reason the mitigations
@@ -188,10 +192,14 @@ def main() -> None:
     st_big = init_state(K_big, dtype=dtype)
     st_big, templates = jax.jit(lambda st: init_imageseq(
         params_big, sc_big, st, 15))(st_big)
+    # subpixel NCC refinement ON (VERDICT r4 item 2; measured at this exact
+    # config 2026-08-21: ATE 0.2158 -> 0.2098, fps 94 -> 75 — the accuracy
+    # headline wins the tradeoff; analysis/measure_churn_accuracy.py re-runs
+    # the ladder)
     run_big = make_imageseq_scan_runner(params_big, templ_width=15,
                                         recruit=True, recruit_max=12,
                                         detector_corners=64,
-                                        use_pallas=not smoke)
+                                        use_pallas=not smoke, subpixel=True)
     CH_BIG = 20 if smoke else 120
     fr_big = jnp.arange(1, 1 + CH_BIG)
     _progress("compiling K=768 churned imageseq runner")
@@ -218,6 +226,28 @@ def main() -> None:
     recruited_total = int(jnp.sum(nrec_b))
     active_med = int(jnp.median(nact_b))
     gen_max = int(jnp.max(st2.lm_generation))
+
+    # ---- no-recruit CONTROL on the SAME world + bound (VERDICT r4 item 2:
+    # the churned ATE had no bound and no same-world comparison — r4's
+    # "0.216 vs 0.087 no-churn" compared DIFFERENT worlds). Measured
+    # 2026-08-21: recruit 0.216 / no-recruit 0.270 (delete on) / 0.263
+    # (frozen set) — on the wide-sweep world recruitment IMPROVES accuracy;
+    # both claims are asserted every round. ----
+    _progress("no-recruit control on the same wide world")
+    st_c = init_state(K_big, dtype=dtype)
+    st_c, tmpl_c = jax.jit(lambda st: init_imageseq(
+        params_big, sc_big, st, 15))(st_c)
+    run_ctl = make_imageseq_scan_runner(params_big, templ_width=15,
+                                        use_pallas=not smoke, subpixel=True)
+    st_cw, (_, _, _) = run_ctl(st_c, tmpl_c, sc_big, fr_big)
+    _ = float(jnp.sum(st_cw.x))
+    st_c2, (_, n_ctl_b, pos_ctl) = run_ctl(st_cw, tmpl_c, sc_big, fr_timed)
+    _ = float(jnp.sum(st_c2.x))
+    ate_norecuit = float(aligned_rmse(pos_ctl, gt_pos_b))
+    if not smoke:
+        assert ate_big < 0.25, f"churned ATE bound violated: {ate_big}"
+        assert ate_big < ate_norecuit, (
+            f"recruitment stopped helping: {ate_big} vs {ate_norecuit}")
 
     # ---- unmitigated-f32 control (VERDICT r3 item 4): the SAME loop with
     # the conditioning mitigations off, run far past the mitigated
@@ -440,6 +470,7 @@ def main() -> None:
         "imageseq_recruited_total": recruited_total,
         "imageseq_active_med": active_med,
         "imageseq_gen_max": gen_max,
+        "imageseq_ate_norecuit_k768": round(ate_norecuit, 6),
         "unmitigated_f32_degraded": unmit_degraded,
         "unmitigated_f32_first_bad_frame": first_bad,
         "unmitigated_f32_min_diag_P": min_diag_u,

@@ -17,10 +17,11 @@ from surikatoko_tpu.world.device_runner import (
 
 
 def _run_churn(recruit=True, capacity=20, n_points=30, frames=100,
-               max_deviation=1.0, dtype=jnp.float64):
+               max_deviation=1.0, world="grid", dtype=jnp.float64):
     sc = build_imageseq_scenario(capacity=n_points, n_points=n_points,
                                  dtype=dtype, image_size=(320, 240),
-                                 bg_cell=32, max_deviation=max_deviation)
+                                 bg_cell=32, max_deviation=max_deviation,
+                                 world=world)
     cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
                                  (0.01, 0.01), dtype=dtype)
     params = make_params(cam, None, dt=1.0,
@@ -63,14 +64,25 @@ def test_recruit_loop_churns_and_tracks():
 
 def test_recruit_loop_beats_stranded_filter():
     """On a wide-oscillation trajectory landmarks leave the view; without
-    recruitment the filter strands on whatever survives, with recruitment it
-    re-acquires — the closed loop must not be WORSE than the stranded one."""
-    (st_r, _, (_, _, pos_r, nrec, _)), gt_pos = _run_churn(recruit=True)
-    (st_n, (_, _, pos_n)), _ = _run_churn(recruit=False)
+    recruitment the filter strands on whatever survives, with recruitment
+    it re-acquires — and must track STRICTLY better (VERDICT r4 item 2:
+    'beats' means ate_r < ate_n, not a vacuous 1.5x bound).
+
+    Regime matters (measured, analysis/measure_churn_accuracy.py + CPU
+    sweep 2026-08-21): at mild sweeps (max_deviation<=1.4 on the wide
+    world) the stranded filter's few surviving GT-depth landmarks BEAT a
+    churning filter diluted by prior-depth recruits; recruitment's value
+    shows where stranding is fatal — at max_deviation=2.2 the stranded
+    filter erodes to ~8 matched and ATE 0.75 while the recruiting loop
+    holds ~15 matched at ATE 0.58."""
+    (st_r, _, (_, _, pos_r, nrec, _)), gt_pos = _run_churn(
+        recruit=True, max_deviation=2.2, world="wide")
+    (st_n, (_, _, pos_n)), _ = _run_churn(recruit=False, max_deviation=2.2,
+                                          world="wide")
     ate_r = float(aligned_rmse(pos_r, gt_pos))
     ate_n = float(aligned_rmse(pos_n, gt_pos))
     assert int(jnp.sum(nrec)) > 0
-    assert ate_r <= ate_n * 1.5 + 0.05, (ate_r, ate_n)
+    assert ate_r < ate_n, (ate_r, ate_n)
 
 
 def test_recruit_mode_rejects_other_impls():
