@@ -23,6 +23,11 @@ Extra keys recorded alongside the headline number:
                          recruitment must track strictly better (asserted,
                          along with an absolute churned-ATE bound < 0.25 —
                          r4's "churn costs 2.5x" compared different worlds)
+  imageseq_hostloop_*    the reference's actual operating mode end-to-end:
+                         synthetic 320x240 PGMs through the real encoder ->
+                         native prefetching frame loader -> Shi-Tomasi
+                         recruit + NCC match -> EKF via the pipelined host
+                         loop (demo-davison-mono-slam.cpp:1699-1729)
   unmitigated_f32_*      control: the same loop with the f32 conditioning
                          mitigations OFF, run past the ~120-frame failure
                          horizon — must degrade (the reason the mitigations
@@ -48,7 +53,16 @@ Extra keys recorded alongside the headline number:
   dino_map_ate           its converged map ATE vs GT
   mvf_*                  MVF at-scale closed loop (incremental SfM +
                          windowed/global BA + oracle-free Sim(3) closure)
-                         at a reduced-but-representative size
+                         at a reduced-but-representative size.
+                         mvf_end_to_end_fps counts TOTAL pipeline
+                         wall-clock incl. triggered BA (the reference's
+                         per-frame cost includes its triggered BA);
+                         _steady replaces each BA run with its per-run
+                         median (the 2-3 one-off jit compiles that
+                         dominate at reduced size amortize on long runs).
+                         mvf_ba_iters_per_s_in_pipeline is best-of-2 warm
+                         reps: r4's 0.477 was the first-after-compile call
+                         paying one-off tunnel costs (real warm rate ~50/s)
 """
 
 from __future__ import annotations
@@ -302,6 +316,110 @@ def main() -> None:
                           or not bool(jnp.all(jnp.isfinite(st_u.x)))
                           or matched_late < n_match_med * 17 // 20)
 
+    # ---- host-driven REAL-IMAGE loop (VERDICT r4 item 8): the reference's
+    # actual operating mode is decode-from-disk -> matcher plug-in -> filter
+    # (demo-davison-mono-slam.cpp:1699-1729). Write a synthetic 320x240 PGM
+    # sequence through the real encoder (vision/picture.save_picture), read
+    # it back through the native prefetching frame loader, and run the
+    # pipelined host loop (Shi-Tomasi recruit + NCC match + EKF) end-to-end
+    # — the decode -> upload -> NCC -> EKF seam the per-round artifact never
+    # exercised before. ----
+    _progress("host-driven imageseq loop (PGM encode -> decode -> NCC -> EKF)")
+    import tempfile as _tf
+    from surikatoko_tpu.geom.se3 import SE3
+    from surikatoko_tpu.io.frame_loader import FrameLoader
+    from surikatoko_tpu.models.monoslam import MonoSlamFilter
+    from surikatoko_tpu.vision.matcher import ImageTemplCornersMatcher
+    from surikatoko_tpu.vision.picture import save_picture
+    from surikatoko_tpu.world import scene_gen
+    from surikatoko_tpu.world.runner import (
+        gt_poses_in_tracker_frame, init_tracker_state_from_gt,
+        run_image_sequence_pipelined)
+
+    wb_h = scene_gen.WorldBounds(0.0, 0.6, 0.0, 0.6, 0.0, 0.6001)
+    pts_world_h = np.asarray(
+        scene_gen.generate_grid_points(wb_h, (0.5, 0.5, 0.5), 0.2))
+    center_h = np.array([0.3, 0.3, 0.3])
+    n_host = 24 if smoke else 200
+    gt_cfw_world_h = scene_gen.oscillate_right_and_left(
+        center_h + np.array([0, -1.5, 0]), center_h, (0, 0, 1),
+        max_deviation=0.3, periods_count=2,
+        shots_per_period=100, const_view_dir=True)   # smoke plays a prefix
+    gt_cfw_h = gt_poses_in_tracker_frame(gt_cfw_world_h)
+    tfw_h = SE3(gt_cfw_world_h.R[0], gt_cfw_world_h.t[0])
+    pts_h = np.asarray(pts_world_h @ np.asarray(tfw_h.R).T
+                       + np.asarray(tfw_h.t))
+    cam_h = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                   (0.01, 0.01))
+    params_h = make_params(cam_h, None, dt=1.0,
+                           process_noise_lin_veloc_std=0.02,
+                           process_noise_ang_veloc_std=0.005,
+                           measurm_noise_std_pix=1.0,
+                           sal_pnt_init_inv_dist=0.6,
+                           sal_pnt_init_inv_dist_std=0.6, dtype=dtype)
+
+    def _render_host(f):
+        # vectorized host splat render (same world/blob model as the tests)
+        H, W = 240, 320
+        R = np.asarray(gt_cfw_h.R[f])
+        t = np.asarray(gt_cfw_h.t[f])
+        xc = pts_h @ R.T + t
+        vis = xc[:, 2] > 1e-6
+        pix = np.asarray(camera.project_camera_point(
+            cam_h, None, jnp.asarray(xc)))
+        rng_h = np.random.default_rng(0)
+        img = rng_h.uniform(20, 60, size=(H, W))
+        ys, xs = np.mgrid[0:H, 0:W]
+        for k in np.nonzero(vis)[0]:
+            x, y = pix[k]
+            if -10 < x < W + 10 and -10 < y < H + 10:
+                img += 170.0 * np.exp(
+                    -((xs - x) ** 2 + (ys - y) ** 2) / (2 * 1.8 ** 2))
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    with _tf.TemporaryDirectory() as td_h:
+        with jax.default_device(jax.devices("cpu")[0]):
+            # pin projection math to local CPU: 200 eager tunnel dispatches
+            # would add minutes of pure latency
+            for f in range(n_host):
+                save_picture(os.path.join(td_h, f"{f:06d}.pgm"),
+                             _render_host(f))
+
+        def run_hostloop(rep):
+            tracker = MonoSlamFilter(params_h, capacity=48, update_impl=1)
+            matcher = ImageTemplCornersMatcher(
+                tracker, templ_width=15, search_radius=10,
+                min_corr_coeff=0.6, detector_max_corners=48,
+                min_distance_new_to_tracked=15.0)
+            # seed GT initial velocity (reference perfect-init-vel switch);
+            # the tiny rep-dependent perturbation defeats the tunnel's
+            # (executable, args) memoization across reps
+            st0 = init_tracker_state_from_gt(tracker, gt_cfw_h)
+            st0 = st0._replace(x=st0.x.at[7:10].add(1e-6 * rep))
+            with FrameLoader(td_h, prefetch_depth=4) as fl:
+                frames_iter = (np.asarray(img, np.float32)
+                               for _, img in fl)
+                st, stats = run_image_sequence_pipelined(
+                    tracker, matcher, frames_iter, st0)
+            _ = float(jnp.sum(st.x))           # force completion
+            return st, stats
+
+        run_hostloop(0)                        # compile warm
+        ts_h = []
+        stats_h = None
+        for r in (1, 2):
+            t0 = time.perf_counter()
+            _st_h, stats_h = run_hostloop(r)
+            ts_h.append(time.perf_counter() - t0)
+        hostloop_fps = n_host / (min(ts_h) - rtt)
+    pos_est_h = np.stack([np.asarray(s.cam_state[:3]) for s in stats_h])
+    gt_pos_h = -np.einsum("fji,fj->fi", np.asarray(gt_cfw_h.R),
+                          np.asarray(gt_cfw_h.t))[:n_host]
+    hostloop_ate = float(aligned_rmse(jnp.asarray(pos_est_h),
+                                      jnp.asarray(gt_pos_h)))
+    hostloop_matched = int(np.median(
+        [int(np.asarray(s.obs_count)) for s in stats_h]))
+
     # ---- on-device Pallas NCC parity vs the XLA conv path (one frame) ----
     _progress("pallas-vs-xla NCC parity")
     from surikatoko_tpu.world.device_runner import render_frame
@@ -471,6 +589,9 @@ def main() -> None:
         "imageseq_active_med": active_med,
         "imageseq_gen_max": gen_max,
         "imageseq_ate_norecuit_k768": round(ate_norecuit, 6),
+        "imageseq_hostloop_fps": round(hostloop_fps, 2),
+        "imageseq_hostloop_ate": round(hostloop_ate, 6),
+        "imageseq_hostloop_matched_med": hostloop_matched,
         "unmitigated_f32_degraded": unmit_degraded,
         "unmitigated_f32_first_bad_frame": first_bad,
         "unmitigated_f32_min_diag_P": min_diag_u,
@@ -484,6 +605,8 @@ def main() -> None:
         "dino_ba_iters_per_s": round(dino_ba_iters_per_s, 2),
         "dino_map_ate": round(dino_map_ate, 6),
         "mvf_at_scale_fps": mvf_res["frames_per_s_integration"],
+        "mvf_end_to_end_fps": mvf_res["frames_per_s_end_to_end"],
+        "mvf_end_to_end_fps_steady": mvf_res["frames_per_s_end_to_end_steady"],
         "mvf_ba_iters_per_s_in_pipeline": mvf_res["value"],
         "mvf_final_ate": mvf_res["traj_ate_rmse"],
         "mvf_map_ate": mvf_res["map_ate_rmse"],

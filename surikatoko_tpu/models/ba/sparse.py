@@ -267,7 +267,8 @@ class BandPlan(NamedTuple):
 
 
 def plan_bands(frame_idx, obs_mask, point_chunk: int, n_frames: int,
-               max_band_frac: float = 0.5, max_overflow_frac: float = 0.5):
+               max_band_frac: float = 0.5, max_overflow_frac: float = 0.5,
+               band_accept_frac: float = 0.8, min_chunk: int = 256):
     """Host-side banding plan for :func:`solve_corrections_schur_banded`.
 
     Sorting points by their first observed frame makes each point chunk
@@ -279,10 +280,21 @@ def plan_bands(frame_idx, obs_mask, point_chunk: int, n_frames: int,
     padded to whole chunks via an extended index (pad entries point past the
     last point and read as zeros).
 
+    A plan is only worth compiling if the band is genuinely narrow: when a
+    chunk holds so many points that its fmin window spans most of the run
+    (pc ~ Np => W ~ F), the banded gathers cost MORE than the full-width
+    Gram strips they replace (measured 4-5x slower at W/F=0.93 on the MVF
+    final-BA shape, analysis/profile_mvf_final_ba.py — VERDICT r4 item 3's
+    degenerate plan). So: if W exceeds ``band_accept_frac * n_frames`` the
+    planner retries with half the chunk size (down to ``min_chunk``), and
+    refuses (None => caller uses the full-width solver) if the band never
+    gets narrow enough.
+
     Returns a :class:`BandPlan`, or None when fewer than
     ``1 - max_overflow_frac`` of the points are local or the band is no
-    narrower than the full width. Pure numpy; call once per problem (the
-    observation structure is constant across LM iterations)."""
+    narrower than ``band_accept_frac`` of the full width. Pure numpy; call
+    once per problem (the observation structure is constant across LM
+    iterations)."""
     import numpy as np
 
     fi = np.asarray(frame_idx)
@@ -302,26 +314,34 @@ def plan_bands(frame_idx, obs_mask, point_chunk: int, n_frames: int,
         return None
     loc = loc[np.argsort(fmin[loc], kind="stable")]
     pc = min(point_chunk, Np)
-    nb = -(-len(loc) // pc)
-    pc_ovf = min(pc, 256) if len(ovf) else pc
-    no = -(-len(ovf) // pc_ovf)
-    ext = np.full(nb * pc + no * pc_ovf, Np, np.int32)
-    ext[:len(loc)] = loc
-    ext[nb * pc:nb * pc + len(ovf)] = ovf
-    W = 1
-    for c in range(nb):
-        sel = ext[c * pc:(c + 1) * pc]
-        sel = sel[sel < Np]
-        W = max(W, int(fmax[sel].max() - fmin[sel].min() + 1))
-    # quantize the band width: the compiled solver is cached on the band
-    # GEOMETRY (W, chunk counts), and W creeps with every point added —
-    # rounding up keeps the cache warm across incremental growth. Keep the
-    # exact W when rounding would reach full width (small problems).
-    Wq = -(-W // 32) * 32
-    if Wq < n_frames:
-        W = Wq
-    if W >= n_frames:
-        return None
+    while True:
+        nb = -(-len(loc) // pc)
+        pc_ovf = min(pc, 256) if len(ovf) else pc
+        no = -(-len(ovf) // pc_ovf)
+        ext = np.full(nb * pc + no * pc_ovf, Np, np.int32)
+        ext[:len(loc)] = loc
+        ext[nb * pc:nb * pc + len(ovf)] = ovf
+        W_raw = 1
+        for c in range(nb):
+            sel = ext[c * pc:(c + 1) * pc]
+            sel = sel[sel < Np]
+            W_raw = max(W_raw, int(fmax[sel].max() - fmin[sel].min() + 1))
+        # accept on the RAW width (the x32 quantization below would
+        # spuriously refuse small-F problems), then quantize: the compiled
+        # solver is cached on the band GEOMETRY (W, chunk counts), and W
+        # creeps with every point added — rounding up keeps the cache warm
+        # across incremental growth. Keep the exact W when rounding would
+        # reach full width (small problems).
+        if W_raw < band_accept_frac * n_frames:
+            W = W_raw
+            Wq = -(-W // 32) * 32
+            if Wq < n_frames:
+                W = Wq
+            break
+        if pc // 2 >= min_chunk:
+            pc //= 2            # narrower chunks -> narrower fmin windows
+            continue
+        return None             # band never narrow enough: full-width wins
     return BandPlan(ext_idx=ext, band_width=W, n_banded_chunks=nb,
                     overflow_chunk=pc_ovf, point_chunk=pc)
 
@@ -340,13 +360,28 @@ def plan_bands_sharded(frame_idx, obs_mask, n_dev: int, point_chunk: int,
     Np = fi.shape[0]
     assert Np % n_dev == 0
     Nl = Np // n_dev
-    plans = []
-    for d in range(n_dev):
-        pl = plan_bands(fi[d * Nl:(d + 1) * Nl], m[d * Nl:(d + 1) * Nl],
-                        point_chunk, n_frames, **kw)
-        if pl is None:
+
+    def _plan_all(pc_try):
+        plans = []
+        for d in range(n_dev):
+            pl = plan_bands(fi[d * Nl:(d + 1) * Nl], m[d * Nl:(d + 1) * Nl],
+                            pc_try, n_frames, **kw)
+            if pl is None:
+                return None
+            plans.append(pl)
+        return plans
+
+    # shard_map needs one static program: if the degenerate-band retry
+    # shrank chunks differently per shard, re-plan everyone at the min
+    pc_try = point_chunk
+    while True:
+        plans = _plan_all(pc_try)
+        if plans is None:
             return None
-        plans.append(pl)
+        pcs = {pl.point_chunk for pl in plans}
+        if len(pcs) == 1:
+            break
+        pc_try = min(pcs)
     pc = plans[0].point_chunk
     pco = min(pl.overflow_chunk for pl in plans)
     W = max(pl.band_width for pl in plans)

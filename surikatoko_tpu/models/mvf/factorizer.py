@@ -307,6 +307,10 @@ class MultiViewFactorizer:
     _window_ba: object = field(default=None)
     _window_ba_key: tuple = field(default=None)
     _ba_cache: dict = field(default_factory=dict)
+    # per-stage wall-clock accumulators (window_ba build/compute/readback
+    # phases; see run_windowed_ba) — the reference's per-frame duration
+    # slices (DavisonMonoSlamInternalsLogger), applied to the SfM pipeline
+    profile: dict = field(default_factory=dict)
 
     def frames_count(self) -> int:
         return len(self.cam_cfw_R)
@@ -721,6 +725,11 @@ class MultiViewFactorizer:
         still polishes globally. New capability beyond the reference (its
         MVF re-runs global BA on every trigger,
         multi-view-factorization.cpp:378-394, which cannot scale)."""
+        import time as _time
+        prof = self.profile.setdefault(
+            "window_ba", {"build": 0.0, "compute": 0.0, "readback": 0.0,
+                          "runs": 0, "per_run": []})
+        _t0 = _time.time()
         F = self.frames_count()
         if F < window:
             return False
@@ -775,7 +784,9 @@ class MultiViewFactorizer:
         term = TermCriteria(
             allowed_reproj_err_rel_change=self.ba_term_rel_change,
             max_iters=self.ba_max_iters)
+        _t1 = _time.time()
         ok, p_opt = ba.compute(p, term)    # gauge = the two pinned frames
+        _t2 = _time.time()
         self.ba_runs += 1
         self.last_ba_sparse = True
         if not ok:
@@ -784,6 +795,14 @@ class MultiViewFactorizer:
         # blocking tunnel round-trip)
         pts_o, R_o, t_o = jax.device_get(
             (p_opt.points, p_opt.cfw_R, p_opt.cfw_t))
+        _t3 = _time.time()
+        prof["build"] += _t1 - _t0
+        prof["compute"] += _t2 - _t1
+        prof["readback"] += _t3 - _t2
+        prof["runs"] += 1
+        prof["per_run"].append(
+            (round(_t1 - _t0, 3), round(_t2 - _t1, 3), round(_t3 - _t2, 3),
+             int(Npad), int(obs.shape[1])))
         # only read back points constrained by >=2 in-window observations:
         # a point with a single in-window residual is underdetermined along
         # its viewing ray — the solver moves it freely, and reading that
@@ -931,6 +950,11 @@ class MultiViewFactorizer:
         return int(np.argmax(np.abs(T01)))
 
     def _run_ba(self, pin_frames: tuple = ()) -> None:
+        import time as _time
+        prof = self.profile.setdefault(
+            "global_ba", {"build": 0.0, "compute": 0.0, "readback": 0.0,
+                          "runs": 0, "per_run": []})
+        _t0 = _time.time()
         term = TermCriteria(
             allowed_reproj_err_rel_change=self.ba_term_rel_change,
             max_iters=self.ba_max_iters)
@@ -955,17 +979,28 @@ class MultiViewFactorizer:
                                  and self.ba_mesh is None))
                 self._ba_cache[key] = ba
             ba.set_plan_inputs(*self._last_sparse_inputs)
+            _t1 = _time.time()
             ok, p_opt = ba.compute_inplace(p, term)
         else:
             tids, p = self._dense_problem()
             ba = BundleAdjustment(optimize_intrinsics=False,
                                   pin_frames=pin_frames, unity_comp_ind=uci)
+            _t1 = _time.time()
             ok, p_opt = ba.compute_inplace(p, term)
+        _t2 = _time.time()
         self.ba_runs += 1
         if not ok:
             return
         pts, R_opt, t_opt = jax.device_get(
             (p_opt.points, p_opt.cfw_R, p_opt.cfw_t))
+        _t3 = _time.time()
+        prof["build"] += _t1 - _t0
+        prof["compute"] += _t2 - _t1
+        prof["readback"] += _t3 - _t2
+        prof["runs"] += 1
+        prof["per_run"].append(
+            (round(_t1 - _t0, 3), round(_t2 - _t1, 3), round(_t3 - _t2, 3),
+             int(p.n_points), int(p.n_frames)))
         for i, t in enumerate(tids):
             self.point_coords[t] = pts[i]
         self._ba_points.update(int(t) for t in tids)

@@ -72,6 +72,24 @@ def load_picture(path: str) -> Picture:
     return Picture(gray=img.astype(np.uint8))
 
 
+def save_picture(path: str, img: np.ndarray) -> None:
+    """Write a PGM (P5, [H,W]) or PPM (P6, [H,W,3] RGB) binary image —
+    the encoder side of :func:`_read_pnm` / the native loader's decoder
+    (round-trip pinned in tests/test_io_fixtures.py). The imageseq bench
+    writes its synthetic sequence through this so the measured host loop
+    exercises the real encode -> decode -> prefetch -> device seam."""
+    a = np.ascontiguousarray(np.clip(np.asarray(img), 0, 255), np.uint8)
+    if a.ndim == 2:
+        magic, (h, w) = b"P5", a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, (h, w) = b"P6", a.shape[:2]
+    else:
+        raise ValueError(f"expected [H,W] or [H,W,3], got {a.shape}")
+    with open(path, "wb") as f:
+        f.write(magic + b"\n" + f"{w} {h}\n255\n".encode())
+        f.write(a.tobytes())
+
+
 def list_image_dir(dir_path: str) -> list[str]:
     exts = (".pgm", ".ppm", ".png", ".jpg", ".jpeg", ".bmp")
     names = sorted(n for n in os.listdir(dir_path)

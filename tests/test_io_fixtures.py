@@ -117,6 +117,31 @@ def test_load_dino_problem_sparse_matches_dense():
                                np.asarray(p_d_opt.points), atol=1e-6)
 
 
+def test_save_picture_round_trip(tmp_path):
+    """save_picture (the encoder the hostloop bench writes its sequence
+    through) -> load_picture and the native frame loader must recover the
+    exact bytes, for both P5 gray and P6 color."""
+    from surikatoko_tpu.vision.picture import load_picture, save_picture
+
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    p5 = str(tmp_path / "g.pgm")
+    save_picture(p5, gray)
+    np.testing.assert_array_equal(load_picture(p5).gray, gray)
+
+    rgb = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    p6 = str(tmp_path / "c.ppm")
+    save_picture(p6, rgb)
+    pic = load_picture(p6)
+    # P6 is RGB by spec; Picture normalizes the debug image to BGR
+    np.testing.assert_array_equal(pic.bgr_debug, rgb[..., ::-1])
+
+    from surikatoko_tpu.io.frame_loader import FrameLoader
+    with FrameLoader(str(tmp_path)) as fl:
+        frames = {i: img for i, img in fl}
+    np.testing.assert_array_equal(frames[1], gray)   # c.ppm sorts first
+
+
 def test_viff_first_row_bytes():
     """Byte-level parse check: the first viff.xy row read by the loader
     equals the raw text parsed independently."""

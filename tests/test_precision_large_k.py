@@ -61,19 +61,17 @@ def test_f32_ate_within_2x_of_f64_at_k768():
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(os.environ.get("SRK_SLOW_PRECISION", "") != "1",
-                    reason="~12 min of subprocess runs; the opt-in CI lane "
-                           "(SRK_SLOW_PRECISION=1). Latest measured result "
-                           "is recorded in docs/SCALING.md; the UNMITIGATED "
-                           "degradation control runs every round on real "
-                           "TPU as bench.py's unmitigated_f32_* keys (the "
-                           "failure mode is imageseq-specific: the "
-                           "GT-matcher loop re-observes every landmark, so "
-                           "no stale covariance blocks ever inflate).")
 def test_f32_ate_within_2x_of_f64_at_k768_120frames():
     """The documented f32 failure horizon is ~120 chained K=768 frames
     (bench.py, CLAUDE.md numerics policy) — the 32-frame pin above stops
-    short of it; this one covers it (VERDICT r3 item 4)."""
+    short of it; this one covers it (VERDICT r3 item 4).
+
+    The SRK_SLOW_PRECISION env gate is GONE (VERDICT r4 item 6: a pin
+    nobody executes pins nothing) — the slow lane runs this (~12 min of
+    subprocess runs). Measured 2026-08-21 (this harness, 120 frames,
+    K=768): f64 ATE vs mitigated-f32 ATE recorded in docs/SCALING.md;
+    the UNMITIGATED degradation control additionally runs every round on
+    real TPU as bench.py's unmitigated_f32_* keys."""
     r64 = _run("f64", mitigations=False, frames=120)
     r32 = _run("f32", mitigations=True, frames=120)
     assert r64["finite"] and r32["finite"]
