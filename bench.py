@@ -23,6 +23,12 @@ Extra keys recorded alongside the headline number:
                          recruitment must track strictly better (asserted,
                          along with an absolute churned-ATE bound < 0.25 —
                          r4's "churn costs 2.5x" compared different worlds)
+  sharded_pallas_*       the landmark-sharded imageseq runner (recruit +
+                         delete + Pallas NCC under shard_map) executed on
+                         the REAL chip via a 1-device mesh at K=768 and
+                         compared to the single-device runner — proves the
+                         multi-chip program compiles + matches on TPU
+                         (virtual-CPU parity tests cannot exercise Pallas)
   imageseq_hostloop_*    the reference's actual operating mode end-to-end:
                          synthetic 320x240 PGMs through the real encoder ->
                          native prefetching frame loader -> Shi-Tomasi
@@ -316,6 +322,33 @@ def main() -> None:
                           or not bool(jnp.all(jnp.isfinite(st_u.x)))
                           or matched_late < n_match_med * 17 // 20)
 
+    # ---- sharded imageseq runner ON THE REAL CHIP (VERDICT r4 item 7):
+    # a 1-device "lm" mesh executes the full shard_map composition —
+    # distributed render psum, Pallas NCC INSIDE shard_map, recruit +
+    # delete + sharded fused congruence — at the benchmark K, proving the
+    # multi-chip program compiles and matches the single-device runner on
+    # TPU hardware (the virtual-CPU parity tests can't exercise Pallas) ----
+    _progress("sharded runner (1-device mesh, Pallas under shard_map, K=768)")
+    from surikatoko_tpu.parallel import landmark_mesh
+    from surikatoko_tpu.parallel.sharded_imageseq import (
+        make_sharded_imageseq_runner)
+    fr_sh = jnp.arange(1, 9)
+    run_sh = make_sharded_imageseq_runner(
+        params_big, K_big, landmark_mesh(1), templ_width=15,
+        use_pallas=not smoke, subpixel=True, recruit=True, recruit_max=12,
+        detector_corners=64)
+    x_sh, P_sh, tm_sh, act_sh, _u_sh, gen_sh, (
+        err_sh, n_sh, pos_sh, nrec_sh, nact_sh) = run_sh(
+        st_big.x, st_big.P, templates, st_big.lm_active,
+        st_big.lm_unobserved, st_big.lm_generation, sc_big, fr_sh)
+    st_1, tm_1, (err_1, n_1, pos_1, nrec_1, nact_1) = run_big(
+        st_big, templates, sc_big, fr_sh)
+    sharded_matched_absdiff = int(jnp.max(jnp.abs(n_sh - n_1)))
+    sharded_pos_maxdiff = float(jnp.max(jnp.abs(pos_sh - pos_1)))
+    assert bool(jnp.all(jnp.isfinite(err_sh))), "sharded-on-chip diverged"
+    assert sharded_matched_absdiff <= 5, (
+        f"sharded vs single matched counts diverged: {n_sh} vs {n_1}")
+
     # ---- host-driven REAL-IMAGE loop (VERDICT r4 item 8): the reference's
     # actual operating mode is decode-from-disk -> matcher plug-in -> filter
     # (demo-davison-mono-slam.cpp:1699-1729). Write a synthetic 320x240 PGM
@@ -589,6 +622,8 @@ def main() -> None:
         "imageseq_active_med": active_med,
         "imageseq_gen_max": gen_max,
         "imageseq_ate_norecuit_k768": round(ate_norecuit, 6),
+        "sharded_pallas_matched_absdiff": sharded_matched_absdiff,
+        "sharded_pallas_pos_maxdiff": round(sharded_pos_maxdiff, 8),
         "imageseq_hostloop_fps": round(hostloop_fps, 2),
         "imageseq_hostloop_ate": round(hostloop_ate, 6),
         "imageseq_hostloop_matched_med": hostloop_matched,

@@ -205,10 +205,16 @@ def main() -> int:
                                        np.asarray(new_pix), state)
             matcher.sync_removed(state)
             logger.record_from_stats(stats, state)
+            if matcher.last_gate_stats:
+                logger.record_gate_stats(matcher.last_gate_stats)
             logger.finish_frame()
             d = logger.slices[-1].frame_processing_dur
+            gs = matcher.last_gate_stats
+            gate_pct = (100.0 * gs["gated_evals"] / gs["window_evals"]
+                        if gs.get("window_evals") else 0.0)
             print(f"f={f} track={d*1e3:.1f}ms | {1.0/max(d,1e-9):.1f}fps "
-                  f"obs={int(stats.obs_count)} est={int(stats.estimated_count)}")
+                  f"obs={int(stats.obs_count)} est={int(stats.estimated_count)}"
+                  f" gate={gate_pct:.0f}%")
     else:
         points_w, gt_cfw_world = build_virtual_scene(cfg)
         gt_cfw = gt_poses_in_tracker_frame(gt_cfw_world)

@@ -39,6 +39,12 @@ class FrameSlice:
     estim_err_std: Optional[np.ndarray] = None      # [13] sqrt(diag Pcam)
     meas_residual: Optional[np.ndarray] = None      # [2] mean residual
     meas_residual_std: Optional[np.ndarray] = None  # [2]
+    # search-efficiency telemetry (reference executed_match_templ_calls,
+    # demo-davison-mono-slam.cpp:461): full-window NCC evals paid vs what an
+    # ideally-gated scan would pay, and matched-by-strict-ellipse count
+    templ_evals_window: Optional[int] = None
+    templ_evals_gated: Optional[int] = None
+    matched_in_ellipse: Optional[int] = None
 
 
 class TrackerInternalsLogger:
@@ -58,6 +64,15 @@ class TrackerInternalsLogger:
         self._cur.frame_processing_dur = time.perf_counter() - self._frame_start
         self.slices.append(self._cur)
         self._cur = None
+
+    def record_gate_stats(self, gate_stats: dict) -> None:
+        """Record a matcher's per-frame gate telemetry
+        (ImageTemplCornersMatcher.last_gate_stats)."""
+        s = self._cur
+        assert s is not None, "call start_new_frame first"
+        s.templ_evals_window = int(gate_stats.get("window_evals", 0))
+        s.templ_evals_gated = int(gate_stats.get("gated_evals", 0))
+        s.matched_in_ellipse = int(gate_stats.get("matched_in_ellipse", 0))
 
     def record_from_stats(self, stats, state=None, cam_state_gt=None) -> FrameSlice:
         """Populate the current slice from a FrameStats pytree (and optional
@@ -128,6 +143,10 @@ class TrackerInternalsLogger:
                 "FrameProcessingDur": s.frame_processing_dur,
                 "CamState": arr(s.cam_state),
             }
+            if s.templ_evals_window is not None:
+                d["TemplEvalsWindow"] = s.templ_evals_window
+                d["TemplEvalsGated"] = s.templ_evals_gated
+                d["MatchedInEllipse"] = s.matched_in_ellipse
             for key, val in (("CamStateGT", s.cam_state_gt),
                              ("SalPntUncMedian_s", s.sal_pnts_uncert_median),
                              ("EstimErr", s.estim_err),

@@ -31,6 +31,16 @@ class NccSearchResult(NamedTuple):
     best_center: jnp.ndarray   # [K,2] (x,y) of best template center
     best_corr: jnp.ndarray     # [K]
     matched: jnp.ndarray       # [K] bool (gate passed & corr above threshold)
+    # search-efficiency telemetry (reference executed_match_templ_calls,
+    # demo-davison-mono-slam.cpp:461,:689-698 — it counts the NCC evals its
+    # sequential scan performed; the batched path always pays the full
+    # window, so n_gated is what an ideally-gated scan WOULD evaluate and
+    # n_gated / S^2 the gate hit-rate that decides if search_radius is
+    # oversized):
+    n_gated: jnp.ndarray       # [K] int32: candidate cells passing the gate
+    in_ellipse: jnp.ndarray    # [K] bool: best cell inside the STRICT chi2
+                               # ellipse (False = rescued by the
+                               # min-search-rect floor)
 
 
 def _gather_patches(image: jnp.ndarray, top_left: jnp.ndarray, P: int) -> jnp.ndarray:
@@ -98,21 +108,23 @@ def ncc_search(
     cand_y = tl[:, 1, None, None] + oy[None] + half
 
     gate = jnp.ones((K, S, S), bool)
+    strict = jnp.ones((K, S, S), bool)
     if sigma_inv is not None and chi2_gate is not None:
         dx = cand_x.astype(dtype) - centers[:, 0, None, None]
         dy = cand_y.astype(dtype) - centers[:, 1, None, None]
         md = (sigma_inv[:, None, None, 0, 0] * dx * dx
               + 2.0 * sigma_inv[:, None, None, 0, 1] * dx * dy
               + sigma_inv[:, None, None, 1, 1] * dy * dy)
-        gate = md <= chi2_gate
+        strict = md <= chi2_gate
         # always keep the predicted center itself searchable (min search rect,
         # reference clamps the rect to at least min_search_rect^2: :623)
         rr = jnp.maximum(jnp.abs(ox[None] - R), jnp.abs(oy[None] - R))
-        gate = jnp.logical_or(gate, rr <= (min_search_rect - 1) // 2)
+        gate = jnp.logical_or(strict, rr <= (min_search_rect - 1) // 2)
     # candidates whose template would cross the image border are invalid
     inside = ((cand_x >= half) & (cand_x < W - half)
               & (cand_y >= half) & (cand_y < H - half))
     gate = jnp.logical_and(gate, inside)
+    n_gated = jnp.sum(gate.reshape(K, S * S).astype(jnp.int32), axis=1)
 
     if use_pallas:
         from surikatoko_tpu.ops.ncc_pallas import ncc_surface_argmax_pallas
@@ -132,6 +144,8 @@ def ncc_search(
     matched = jnp.logical_and(active, best_corr >= min_corr_coeff)
     matched = jnp.logical_and(matched, jnp.isfinite(best_corr))
     best_center = jnp.stack([bx, by], axis=1).astype(dtype)
+    in_ellipse = jnp.take_along_axis(
+        strict.reshape(K, S * S), best[:, None], axis=1)[:, 0]
 
     if subpixel:
         def zncc_at(cx, cy, templ):
@@ -163,7 +177,8 @@ def ncc_search(
              jnp.where(ok_y, d_y, 0.0)], axis=1).astype(dtype)
 
     return NccSearchResult(best_center=best_center, best_corr=best_corr,
-                           matched=matched)
+                           matched=matched, n_gated=n_gated,
+                           in_ellipse=in_ellipse)
 
 
 def make_ncc_search(search_radius: int, min_corr_coeff: float = 0.5,

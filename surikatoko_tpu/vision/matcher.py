@@ -57,6 +57,16 @@ class ImageTemplCornersMatcher:
         self.last_center = np.zeros((K, 2), np.float32)
         self.suppress_observations = False
         self.executed_match_templ_calls = 0   # search-efficiency counter
+        # gate telemetry (reference executed_match_templ_calls semantics,
+        # demo-davison-mono-slam.cpp:461: NCC evals a gated sequential scan
+        # performs; the batched search pays the full window every time):
+        # total full-window evals paid / what an ideal gated scan would pay
+        # / matched slots whose best cell sat inside the strict ellipse
+        self.templ_evals_window = 0
+        self.templ_evals_gated = 0
+        self.matched_in_ellipse = 0
+        self.last_gate_stats: dict = {}
+        self._window_cells = (2 * search_radius + 1) ** 2
         self._image = None
         self._prefetched = None               # (image, corners, valid) futures
         self._detected = None                 # detection for current frame
@@ -114,6 +124,17 @@ class ImageTemplCornersMatcher:
         self.executed_match_templ_calls += int(np.sum(np.asarray(active)))
         matched = np.asarray(res.matched)
         best = np.asarray(res.best_center)
+        act_np = np.asarray(active)
+        gated = int(np.sum(np.asarray(res.n_gated)[act_np]))
+        in_ell = int(np.sum(np.asarray(res.in_ellipse)[matched]))
+        window = int(act_np.sum()) * self._window_cells
+        self.templ_evals_window += window
+        self.templ_evals_gated += gated
+        self.matched_in_ellipse += in_ell
+        self.last_gate_stats = {
+            "active": int(act_np.sum()), "window_evals": window,
+            "gated_evals": gated, "matched": int(matched.sum()),
+            "matched_in_ellipse": in_ell}
         # template-jump sanity check (reference :723-737): a match far from
         # the previous template center is suspicious
         if self.max_center_jump_pix is not None:

@@ -97,6 +97,96 @@ def test_ncc_search_ellipse_gate_blocks_far_match(rng):
     assert not bool(res.matched[0])  # true match at +10 px is outside the gate
 
 
+def test_ncc_search_gate_telemetry(rng):
+    """Search-efficiency telemetry (VERDICT r4 item 9; reference
+    executed_match_templ_calls, demo-davison-mono-slam.cpp:461): n_gated
+    counts the candidate cells an ideally-gated scan would evaluate —
+    full window without a gate, the min-search-rect floor + ellipse with a
+    tight one — and in_ellipse says whether the winning cell sat inside
+    the STRICT chi2 ellipse (vs rescued by the floor)."""
+    pts = np.array([[160.0, 120.0], [60.0, 50.0]])
+    img0 = render_blobs(pts)
+    img1 = render_blobs(pts + np.array([1.0, 0.0]))
+    T = 17
+    half = T // 2
+    templates = np.stack([
+        img0[int(y) - half:int(y) + half + 1, int(x) - half:int(x) + half + 1]
+        for x, y in pts])
+    R = 8
+    S2 = (2 * R + 1) ** 2
+
+    # no gate: every in-image candidate counts
+    search = ncc_mod.make_ncc_search(search_radius=R, min_corr_coeff=0.6)
+    res = search(jnp.asarray(img1), jnp.asarray(pts, jnp.float32),
+                 jnp.asarray(templates), jnp.ones(2, bool))
+    np.testing.assert_array_equal(np.asarray(res.n_gated), [S2, S2])
+    assert bool(jnp.all(res.in_ellipse))      # no gate -> trivially inside
+
+    # tight gate (sigma = 1 px): the ellipse covers ~pi*chi2 cells, far
+    # fewer than the window; floored at the min-search-rect 7x7
+    sigma_inv = jnp.asarray(np.tile(np.eye(2), (2, 1, 1)), jnp.float32)
+    search_g = ncc_mod.make_ncc_search(search_radius=R, min_corr_coeff=0.6,
+                                       chi2_gate=5.99)
+    res_g = search_g(jnp.asarray(img1), jnp.asarray(pts, jnp.float32),
+                     jnp.asarray(templates), jnp.ones(2, bool),
+                     sigma_inv=sigma_inv)
+    n_g = np.asarray(res_g.n_gated)
+    assert np.all(n_g >= 49) and np.all(n_g < S2 // 2), n_g
+    # the +1 px true shift is well inside the strict ellipse
+    assert bool(jnp.all(res_g.matched)) and bool(jnp.all(res_g.in_ellipse))
+
+
+def test_matcher_gate_stats_and_log_keys(rng, tmp_path):
+    """The matcher accumulates the gate telemetry and the internals JSON
+    carries it (TemplEvalsWindow/TemplEvalsGated/MatchedInEllipse)."""
+    import jax
+    from surikatoko_tpu.geom import camera
+    from surikatoko_tpu.io.tracker_log import (
+        TrackerInternalsLogger, read_tracker_internals)
+    from surikatoko_tpu.models.monoslam import MonoSlamFilter, make_params
+    from surikatoko_tpu.vision.matcher import ImageTemplCornersMatcher
+
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                 (0.01, 0.01))
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.02,
+                         process_noise_ang_veloc_std=0.005)
+    tracker = MonoSlamFilter(params, capacity=8, update_impl=1)
+    matcher = ImageTemplCornersMatcher(tracker, templ_width=15,
+                                       search_radius=8,
+                                       detector_max_corners=8)
+    logger = TrackerInternalsLogger()
+    state = tracker.init_state()
+    img = render_blobs(np.array([[160.0, 120.0], [80.0, 60.0],
+                                 [240.0, 180.0]]))
+    for f in range(3):
+        logger.start_new_frame()
+        matcher.analyze_frame(img)
+        obs, obs_mask = matcher.match_salient_points(state, f)
+        new_pix, new_mask = matcher.recruit_new_salient_points(
+            state, f, obs_mask)
+        state, stats = tracker.process_frame(state, obs, obs_mask,
+                                             new_pix, new_mask)
+        matcher.on_landmarks_added(np.asarray(stats.new_slots),
+                                   np.asarray(new_pix), state)
+        matcher.sync_removed(state)
+        logger.record_from_stats(stats, state)
+        if matcher.last_gate_stats:
+            logger.record_gate_stats(matcher.last_gate_stats)
+        logger.finish_frame()
+    # after frame 0's recruits, later frames actually search
+    assert matcher.templ_evals_window > 0
+    assert 0 < matcher.templ_evals_gated <= matcher.templ_evals_window
+    assert matcher.matched_in_ellipse > 0
+    path = str(tmp_path / "internals.json")
+    logger.write_json(path)
+    doc = read_tracker_internals(path)
+    rec = [fr for fr in doc["Frames"] if "TemplEvalsWindow" in fr]
+    assert rec, "gate telemetry missing from internals JSON"
+    assert rec[-1]["TemplEvalsGated"] <= rec[-1]["TemplEvalsWindow"]
+    assert rec[-1]["MatchedInEllipse"] >= 0
+
+
 def test_ncc_subpixel_refinement(rng):
     """A blob displaced by a FRACTIONAL pixel: the parabola-refined center
     must land within ~0.15 px of the true position, where the integer
