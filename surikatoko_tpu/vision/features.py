@@ -17,10 +17,10 @@ padding, and max over a square window == max over rows of max over cols):
   - Sobel = [1,2,1] x [-1,0,1] outer products   -> 2 passes of 3-tap adds
   - box(w) structure-tensor sum                  -> 2 passes of w-tap adds
   - NMS max over (2r+1)^2                        -> 2 passes of (2r+1) maxes
-  - top-N over H*W  -> per-TILE argmax reduction (8x8 tiles; NMS peaks are
-    >= nms_radius apart, so a tile rarely holds two survivors — and a
-    dropped runner-up just waits one frame) + top-N over the ~H*W/64 tile
-    maxima
+  - top-N over H*W  -> per-TILE top-2 reduction (8x8 tiles; NMS peaks are
+    >= nms_radius apart so a tile holds at most 2 survivors when
+    nms_radius >= 3 — keeping both makes the reduction EXACT, advisor r4)
+    + top-N over the ~2*H*W/64 tile candidates
 
 Measured: 47 ms -> ~1 ms/frame, same detections (test_vision blob test).
 """
@@ -97,9 +97,14 @@ def detect_corners(image: jnp.ndarray, max_corners: int = 50,
     thresh = quality_level * jnp.max(resp)
     score = jnp.where(is_peak & inside & (resp >= thresh), resp, -jnp.inf)
 
-    # tile-reduce before top_k: per-tile argmax over t*t, then top-N over
-    # the H*W/t^2 tile maxima (NMS peaks are spread, so at most ~1 peak
-    # per tile survives in practice)
+    # tile-reduce before top_k: per-tile TOP-2 over t*t, then top-N over
+    # the 2*H*W/t^2 tile candidates. NMS peaks are >= nms_radius apart, so
+    # a tile rarely holds two survivors — but two survivors 6-7 px apart
+    # CAN legally share an 8x8 tile (advisor r4: a top-1 reduction dropped
+    # the runner-up and could starve the recruiter in dense-corner
+    # regions); keeping the runner-up costs one extra masked max pass and
+    # preserves the exact top-N of the full argsort for nms_radius >= 3
+    # (>= 3 survivors per 8x8 tile is then geometrically impossible).
     Hp = -(-H // tile) * tile
     Wp = -(-W // tile) * tile
     sp = jnp.pad(score, ((0, Hp - H), (0, Wp - W)),
@@ -107,13 +112,20 @@ def detect_corners(image: jnp.ndarray, max_corners: int = 50,
     nty, ntx = Hp // tile, Wp // tile
     tiles = sp.reshape(nty, tile, ntx, tile).transpose(0, 2, 1, 3)
     tiles = tiles.reshape(nty * ntx, tile * tile)
-    tile_max = jnp.max(tiles, axis=1)
     tile_arg = jnp.argmax(tiles, axis=1).astype(jnp.int32)
+    tile_max = jnp.take_along_axis(tiles, tile_arg[:, None], axis=1)[:, 0]
+    t2 = tiles.at[jnp.arange(tiles.shape[0]), tile_arg].set(-jnp.inf)
+    tile_arg2 = jnp.argmax(t2, axis=1).astype(jnp.int32)
+    tile_max2 = jnp.take_along_axis(t2, tile_arg2[:, None], axis=1)[:, 0]
+    cand_vals = jnp.concatenate([tile_max, tile_max2])
+    cand_tile = jnp.concatenate([jnp.arange(nty * ntx, dtype=jnp.int32)] * 2)
+    cand_arg = jnp.concatenate([tile_arg, tile_arg2])
 
-    top_vals, top_tile = jax.lax.top_k(tile_max, max_corners)
+    top_vals, top_i = jax.lax.top_k(cand_vals, max_corners)
+    top_tile = cand_tile[top_i]
     ty = top_tile // ntx
     tx = top_tile % ntx
-    inner = tile_arg[top_tile]
+    inner = cand_arg[top_i]
     y = ty * tile + inner // tile
     x = tx * tile + inner % tile
     xy = jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32)], axis=1)
