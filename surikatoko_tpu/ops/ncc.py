@@ -74,16 +74,17 @@ def ncc_search(
     """Find each landmark's best template placement near its prediction.
 
     ``subpixel=True`` refines the integer best cell by fitting 1-D parabolas
-    through the ZNCC values at its 4-neighbours (recomputed directly and
-    identically for the XLA and Pallas paths, so the two stay bit-equal):
-    the half-pixel quantization of an integer argmax is a ~0.29 px/axis RMS
+    through the ZNCC surface values at its 4-neighbours — taken from the
+    surface the search ALREADY computed (the Pallas kernel emits them; the
+    XLA path gathers from its surface). The round-4 implementation
+    re-evaluated 4 ZNCCs per slot with per-slot dynamic slices, ~20% of the
+    K=768 imageseq frame; the surface-sourced version is near-free. The
+    half-pixel quantization of an integer argmax is a ~0.29 px/axis RMS
     measurement error the reference simply eats (its scan is integer too,
-    demo-davison-mono-slam.cpp:465). Measured on the churned K=768 flagship
-    (v5e, 2026-08-21): innovation 2.34 -> 2.25 px and ATE 0.211 -> 0.205,
-    for ~20% frame time (the 5 per-slot dynamic-slice ZNCC evals) — the
-    residual error there is prediction/depth-convergence dominated, so the
-    runners default it OFF; turn it on when measurement quantization is the
-    binding error source (short search radii, slow precise motion)."""
+    demo-davison-mono-slam.cpp:465). Accuracy measured on the churned K=768
+    flagship (v5e, 2026-08-21): ATE 0.216 -> 0.210; the bench runs with it
+    ON since round 5. A best cell on the window edge keeps its integer
+    center on that axis (surface neighbours only exist inside the window)."""
     K, T, _ = templates.shape
     R = search_radius
     S = 2 * R + 1
@@ -129,15 +130,24 @@ def ncc_search(
     if use_pallas:
         from surikatoko_tpu.ops.ncc_pallas import ncc_surface_argmax_pallas
 
-        best_corr, best = ncc_surface_argmax_pallas(
+        best_corr, best, c_n = ncc_surface_argmax_pallas(
             patches.astype(jnp.float32), templates.astype(jnp.float32), gate)
         best_corr = best_corr.astype(dtype)
+        c_n = c_n.astype(dtype)
     else:
         surf = templ_match.corr_coeff_surface(patches, templates, templ_stats)
         surf_g = jnp.where(gate, surf, -jnp.inf)
         flat = surf_g.reshape(K, S * S)
         best = jnp.argmax(flat, axis=1)
         best_corr = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+        if subpixel:
+            # RAW (ungated) surface at best's x-1/x+1/y-1/y+1: row-wrap
+            # garbage at window edges is masked below
+            flat_raw = surf.reshape(K, S * S)
+            nb_idx = jnp.clip(best[:, None]
+                              + jnp.asarray([-1, 1, -S, S])[None, :],
+                              0, S * S - 1)
+            c_n = jnp.take_along_axis(flat_raw, nb_idx, axis=1)    # [K,4]
     bx = jnp.take_along_axis(cand_x.reshape(K, S * S), best[:, None], axis=1)[:, 0]
     by = jnp.take_along_axis(cand_y.reshape(K, S * S), best[:, None], axis=1)[:, 0]
 
@@ -148,19 +158,16 @@ def ncc_search(
         strict.reshape(K, S * S), best[:, None], axis=1)[:, 0]
 
     if subpixel:
-        def zncc_at(cx, cy, templ):
-            tlx = jnp.clip(cx - half, 0, W - T)
-            tly = jnp.clip(cy - half, 0, H - T)
-            p = jax.lax.dynamic_slice(image, (tly, tlx), (T, T))
-            pm = p - jnp.mean(p)
-            tm = templ - jnp.mean(templ)
-            den = jnp.sqrt(jnp.sum(pm * pm) * jnp.sum(tm * tm))
-            return jnp.where(den > 1e-12, jnp.sum(pm * tm) / den, 0.0)
-
-        offs = jnp.asarray([[-1, 0], [1, 0], [0, -1], [0, 1]], jnp.int32)
-        c_n = jax.vmap(lambda cx, cy, t: jax.vmap(
-            lambda o: zncc_at(cx + o[0], cy + o[1], t))(offs)
-        )(bx, by, templates)                                # [K,4]
+        # parabola inputs come straight from the ZNCC surface the search
+        # already computed (the Pallas kernel emits the argmax's 4-neighbour
+        # raw values; the XLA path gathers them from its surface) — the
+        # previous implementation re-evaluated 4 ZNCCs per slot with
+        # per-slot dynamic slices, ~20% of the K=768 imageseq frame.
+        # Surface neighbours only exist INSIDE the search window, so a best
+        # cell on the window edge keeps its integer center on that axis
+        # (it was a gate/window artifact anyway).
+        bx_off = (best % S).astype(jnp.int32)
+        by_off = (best // S).astype(jnp.int32)
         c0 = best_corr
         # 1-D parabola peak per axis; a true max has negative curvature —
         # clamp to the half-cell and fall back to the integer cell otherwise
@@ -170,8 +177,10 @@ def ncc_search(
                        / jnp.where(den_x < -1e-9, den_x, -1.0), -0.5, 0.5)
         d_y = jnp.clip(0.5 * (c_n[:, 2] - c_n[:, 3])
                        / jnp.where(den_y < -1e-9, den_y, -1.0), -0.5, 0.5)
-        ok_x = (den_x < -1e-9) & (bx - 1 >= half) & (bx + 1 < W - half)
-        ok_y = (den_y < -1e-9) & (by - 1 >= half) & (by + 1 < H - half)
+        ok_x = ((den_x < -1e-9) & (bx_off > 0) & (bx_off < S - 1)
+                & (bx - 1 >= half) & (bx + 1 < W - half))
+        ok_y = ((den_y < -1e-9) & (by_off > 0) & (by_off < S - 1)
+                & (by - 1 >= half) & (by + 1 < H - half))
         best_center = best_center + jnp.stack(
             [jnp.where(ok_x, d_x, 0.0),
              jnp.where(ok_y, d_y, 0.0)], axis=1).astype(dtype)

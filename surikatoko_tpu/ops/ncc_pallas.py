@@ -29,9 +29,13 @@ LANES = 128
 
 def _ncc_block_kernel(T: int, S: int, n_pix: float,
                       patches_ref, taps_ref, tssd_ref, gate_ref,
-                      best_corr_ref, best_idx_ref):
+                      best_corr_ref, best_idx_ref, neigh_ref):
     """patches_ref [1,P,P,LANES]; taps_ref [1,T,T,LANES] (template - mean);
-    tssd_ref [1,1,LANES]; gate_ref [1,S,S,LANES]; outputs [1,1,LANES]."""
+    tssd_ref [1,1,LANES]; gate_ref [1,S,S,LANES]; outputs best_corr/best_idx
+    [1,1,LANES] + neigh [1,4,LANES] (RAW ungated surface at the argmax's
+    x-1/x+1/y-1/y+1 neighbours — the subpixel parabola consumes these
+    instead of re-evaluating 4 ZNCCs per slot with dynamic slices; row-wrap
+    garbage at window edges is masked by the caller)."""
     dtype = patches_ref.dtype
 
     def row_body(i, acc):
@@ -51,12 +55,20 @@ def _ncc_block_kernel(T: int, S: int, n_pix: float,
     var_term = jnp.maximum(ws2 - ws * ws * (1.0 / n_pix), 0.0)
     denom = jnp.sqrt(var_term) * tssd_ref[0, 0, :][None, None, :]
     ok = denom > 1e-12
-    corr = jnp.where(ok, cp / jnp.where(ok, denom, 1.0), 0.0)
-    corr = jnp.where(gate_ref[0], corr, -jnp.inf)
+    corr_raw = jnp.where(ok, cp / jnp.where(ok, denom, 1.0), 0.0)
+    corr = jnp.where(gate_ref[0], corr_raw, -jnp.inf)
 
     flat = corr.reshape(S * S, LANES)
+    best = jnp.argmax(flat, axis=0).astype(jnp.int32)
     best_corr_ref[0, 0, :] = jnp.max(flat, axis=0)
-    best_idx_ref[0, 0, :] = jnp.argmax(flat, axis=0).astype(jnp.int32)
+    best_idx_ref[0, 0, :] = best
+    # one-hot gathers of the raw surface at best±1 (x) / best±S (y): a few
+    # masked [S*S, LANES] reductions vs the T^2-tap accumulation above
+    flat_raw = corr_raw.reshape(S * S, LANES)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (S * S, LANES), 0)
+    for o, d in enumerate((-1, 1, -S, S)):
+        sel = iot == (best + d)[None, :]
+        neigh_ref[0, o, :] = jnp.sum(jnp.where(sel, flat_raw, 0.0), axis=0)
 
 
 def ncc_surface_argmax_pallas(
@@ -65,8 +77,10 @@ def ncc_surface_argmax_pallas(
     gate: jnp.ndarray,         # [K, S, S] bool
     *,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(best_corr [K], best_flat_idx [K]) of the gated ZNCC surface."""
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(best_corr [K], best_flat_idx [K], neigh [K,4]) of the gated ZNCC
+    surface; ``neigh`` holds the RAW (ungated) surface at the argmax's
+    x-1/x+1/y-1/y+1 neighbours for subpixel refinement."""
     K, P, _ = patches.shape
     T = templates.shape[-1]
     S = P - T + 1
@@ -91,7 +105,7 @@ def ncc_surface_argmax_pallas(
     tssd_l = tssd.reshape(G, 1, LANES)
 
     kernel = functools.partial(_ncc_block_kernel, T, S, float(T * T))
-    best_corr, best_idx = pl.pallas_call(
+    best_corr, best_idx, neigh = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
@@ -109,11 +123,15 @@ def ncc_surface_argmax_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, LANES), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, 1, LANES), patches.dtype),
             jax.ShapeDtypeStruct((G, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, 4, LANES), patches.dtype),
         ],
         interpret=interpret,
     )(patches_l, taps_l, tssd_l, gate_l)
-    return (best_corr.reshape(Kp)[:K], best_idx.reshape(Kp)[:K])
+    return (best_corr.reshape(Kp)[:K], best_idx.reshape(Kp)[:K],
+            jnp.moveaxis(neigh, 1, -1).reshape(Kp, 4)[:K])

@@ -22,11 +22,26 @@ def test_pallas_matches_conv_surface(rng, K, T, S):
     want_idx = jnp.argmax(surf_g.reshape(K, -1), axis=1)
     want_corr = jnp.max(surf_g.reshape(K, -1), axis=1)
 
-    corr, idx = ncc_surface_argmax_pallas(patches, templs, gate,
-                                          interpret=True)
+    corr, idx, neigh = ncc_surface_argmax_pallas(patches, templs, gate,
+                                                 interpret=True)
     np.testing.assert_allclose(np.asarray(corr), np.asarray(want_corr),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    # neighbour outputs = RAW (ungated) surface at idx +/- 1 (x) / +/- S (y),
+    # wherever the neighbour stays inside the window row/col
+    flat_raw = np.asarray(surf.reshape(K, -1))
+    bi = np.asarray(want_idx)
+    for o, d in enumerate((-1, 1, -S, S)):
+        nb = bi + d
+        bx = bi % S
+        by = bi // S
+        valid = ((0 <= nb) & (nb < S * S)
+                 & ((bx > 0) if d == -1 else (bx < S - 1) if d == 1
+                    else (by > 0) if d == -S else (by < S - 1)))
+        got = np.asarray(neigh)[:, o]
+        want_n = flat_raw[np.arange(K), np.clip(nb, 0, S * S - 1)]
+        np.testing.assert_allclose(got[valid], want_n[valid],
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_pallas_padding_path(rng):
@@ -36,8 +51,8 @@ def test_pallas_padding_path(rng):
     patches = jnp.asarray(rng.uniform(0, 255, size=(K, P, P)), jnp.float32)
     templs = jnp.asarray(rng.uniform(0, 255, size=(K, T, T)), jnp.float32)
     gate = jnp.ones((K, S, S), bool)
-    corr, idx = ncc_surface_argmax_pallas(patches, templs, gate,
-                                          interpret=True)
+    corr, idx, _neigh = ncc_surface_argmax_pallas(patches, templs, gate,
+                                                  interpret=True)
     surf = templ_match.corr_coeff_surface(patches, templs)
     want = jnp.argmax(surf.reshape(K, -1), axis=1)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))
