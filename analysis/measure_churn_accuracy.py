@@ -78,6 +78,11 @@ def main() -> None:
         "g": (dict(recruit_depth="prior", subpixel=True), 120, 12),
         # churn-rate ladder: fewer recruits/frame = better-observed ones
         "h": (dict(recruit_depth="prior", subpixel=False), 30, 6),
+        # spatially-local depth prior (median rho of the 8 nearest tracked
+        # slots in pixel space): the global median fails because one number
+        # can't represent a strip whose depth varies; the local field can
+        "k": (dict(recruit_depth="local", subpixel=False), 30, 12),
+        "l": (dict(recruit_depth="local", subpixel=True), 30, 12),
         # controls: is the ATE churn-caused at all, or is the wide world
         # just harder? i = stranded (delete on, no recruit); j = frozen
         # set (no delete, no recruit — the unmitigated control + inflation)

@@ -212,14 +212,23 @@ def main() -> None:
     st_big = init_state(K_big, dtype=dtype)
     st_big, templates = jax.jit(lambda st: init_imageseq(
         params_big, sc_big, st, 15))(st_big)
-    # subpixel NCC refinement ON (VERDICT r4 item 2; measured at this exact
-    # config 2026-08-21: ATE 0.2158 -> 0.2098, fps 94 -> 75 — the accuracy
-    # headline wins the tradeoff; analysis/measure_churn_accuracy.py re-runs
-    # the ladder)
+    # recruit depth prior + subpixel decision, RE-MEASURED at this exact
+    # config after the round-5 detector-exactness fix perturbed the recruit
+    # set (analysis/measure_churn_accuracy.py, 2026-08-21, on-chip):
+    #   prior depth            ATE 0.2337 @ 90.0 fps
+    #   prior + subpixel       ATE 0.2535 @ 89.5 fps
+    #   LOCAL depth            ATE 0.2299 @ 91.7 fps   <- bench config
+    #   local + subpixel       ATE 0.2309 @ 91.4 fps
+    # The spatially-local neighbourhood depth prior (median rho of the 8
+    # nearest tracked slots) wins outright; subpixel refinement — now
+    # near-free via surface reads — moves ATE within the config's
+    # code-perturbation noise (+-0.02) and stays OFF here (its parity is
+    # pinned on-chip by ncc_subpix_center_maxdiff below).
     run_big = make_imageseq_scan_runner(params_big, templ_width=15,
                                         recruit=True, recruit_max=12,
                                         detector_corners=64,
-                                        use_pallas=not smoke, subpixel=True)
+                                        recruit_depth="local",
+                                        use_pallas=not smoke)
     CH_BIG = 20 if smoke else 120
     fr_big = jnp.arange(1, 1 + CH_BIG)
     _progress("compiling K=768 churned imageseq runner")
@@ -258,7 +267,7 @@ def main() -> None:
     st_c, tmpl_c = jax.jit(lambda st: init_imageseq(
         params_big, sc_big, st, 15))(st_c)
     run_ctl = make_imageseq_scan_runner(params_big, templ_width=15,
-                                        use_pallas=not smoke, subpixel=True)
+                                        use_pallas=not smoke)
     st_cw, (_, _, _) = run_ctl(st_c, tmpl_c, sc_big, fr_big)
     _ = float(jnp.sum(st_cw.x))
     st_c2, (_, n_ctl_b, pos_ctl) = run_ctl(st_cw, tmpl_c, sc_big, fr_timed)
@@ -335,8 +344,8 @@ def main() -> None:
     fr_sh = jnp.arange(1, 9)
     run_sh = make_sharded_imageseq_runner(
         params_big, K_big, landmark_mesh(1), templ_width=15,
-        use_pallas=not smoke, subpixel=True, recruit=True, recruit_max=12,
-        detector_corners=64)
+        use_pallas=not smoke, recruit=True, recruit_max=12,
+        detector_corners=64, recruit_depth="local")
     x_sh, P_sh, tm_sh, act_sh, _u_sh, gen_sh, (
         err_sh, n_sh, pos_sh, nrec_sh, nact_sh) = run_sh(
         st_big.x, st_big.P, templates, st_big.lm_active,
@@ -461,9 +470,10 @@ def main() -> None:
     import functools as _ft
     img = render_frame(params_big, sc_big, jnp.asarray(1))
     h, _, _ = measure.measurement_jacobians(params_big, st_big.x)
-    search = lambda use_p: jax.jit(_ft.partial(
+    search = lambda use_p, subpix=False: jax.jit(_ft.partial(
         ncc_search, search_radius=7, min_corr_coeff=0.6,
-        use_pallas=use_p))(img, h, templates, st_big.lm_active)
+        use_pallas=use_p, subpixel=subpix))(img, h, templates,
+                                            st_big.lm_active)
     # the Pallas kernel is TPU-only; the smoke pass compares XLA vs itself
     rp, rx = search(not smoke), search(False)
     both = jnp.logical_and(rp.matched, rx.matched)
@@ -471,6 +481,14 @@ def main() -> None:
         both, jnp.abs(rp.best_corr - rx.best_corr), 0.0)))
     center_agree = float(jnp.mean(jnp.where(
         both, jnp.all(rp.best_center == rx.best_center, axis=-1), True)))
+    # subpixel parity ON-CHIP: the Pallas kernel's surface-sourced neighbour
+    # emission (round 5) must refine to the same float centers as the XLA
+    # conv-surface gather (interpret-mode parity can't exercise the real
+    # Mosaic lowering)
+    rps, rxs = search(not smoke, True), search(False, True)
+    both_s = jnp.logical_and(rps.matched, rxs.matched)
+    subpix_center_maxdiff = float(jnp.max(jnp.where(
+        both_s[:, None], jnp.abs(rps.best_center - rxs.best_center), 0.0)))
 
     # ---- at-scale sparse Schur BA: % of roofline + LM iters/s ----
     # (driver-captured versions of the analysis/roofline_schur.py numbers:
@@ -633,6 +651,7 @@ def main() -> None:
         "unmitigated_f32_matched_late": matched_late,
         "ncc_pallas_maxdiff": pallas_maxdiff,
         "ncc_pallas_center_agreement": round(center_agree, 4),
+        "ncc_subpix_center_maxdiff": round(subpix_center_maxdiff, 6),
         "schur_pct_of_ceiling": round(schur_pct, 1),
         "ba_iters_per_s": round(ba_iters_per_s, 2),
         "ba_trials_per_s": round(ba_trials_per_s, 2),

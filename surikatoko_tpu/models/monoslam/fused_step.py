@@ -232,6 +232,46 @@ def median_tracked_inv_depth(params: MonoSlamParams, x: jnp.ndarray,
     return jnp.where(ok, jnp.clip(med, 0.05 * prior, 20.0 * prior), prior)
 
 
+def local_tracked_inv_depth(params: MonoSlamParams, x: jnp.ndarray,
+                            active: jnp.ndarray, Kcap: int,
+                            cand_pix: jnp.ndarray,   # [M,2] candidate pixels
+                            slot_pix: jnp.ndarray,   # [K,2] tracked pixels
+                            k_nearest: int = 8) -> jnp.ndarray:
+    """Spatially-LOCAL scene-adaptive recruit depth: for each candidate, the
+    median inverse depth of its ``k_nearest`` nearest ACTIVE landmarks in
+    pixel space, clipped around the configured prior, with per-candidate
+    fallback to the prior when nothing usable is nearby.
+
+    The global median (``median_tracked_inv_depth``) measured WORSE than the
+    flat prior on the wide-sweep K=768 world (ATE 0.233 vs 0.216, r5): one
+    number cannot represent a scene whose depth varies across the strip. The
+    depth field is spatially smooth, though, and a recruit's future depth is
+    far better predicted by the landmarks it appears NEXT TO than by the
+    whole map. One [M,K] masked distance matrix + a top-k — trivial next to
+    the EKF congruence. Spherical representation only; XYZ falls back to the
+    prior (same contract as the global-median variant)."""
+    prior = params.sal_pnt_init_inv_dist.astype(x.dtype)
+    M = cand_pix.shape[0]
+    if params.sal_pnt_repres != REPRES_SPHERICAL:
+        return jnp.full((M,), prior, x.dtype)
+    rho = x[_N:].reshape(Kcap, 6)[:, 5]
+    usable = active & (rho > 0) & jnp.isfinite(rho)
+    d2 = jnp.sum((cand_pix[:, None, :].astype(x.dtype)
+                  - slot_pix[None, :, :].astype(x.dtype)) ** 2, axis=-1)
+    d2 = jnp.where(usable[None, :], d2, jnp.inf)          # [M,K]
+    _, nn = jax.lax.top_k(-d2, k_nearest)                 # nearest first
+    rho_nn = rho[nn]                                      # [M,k]
+    ok_nn = usable[nn]                                    # [M,k]
+    # masked lower median over the (possibly <k) usable neighbours
+    vals = jnp.where(ok_nn, rho_nn, jnp.inf)
+    srt = jnp.sort(vals, axis=1)
+    n_ok = jnp.sum(ok_nn.astype(jnp.int32), axis=1)
+    med = jnp.take_along_axis(
+        srt, jnp.maximum((n_ok - 1) // 2, 0)[:, None], axis=1)[:, 0]
+    ok = (n_ok > 0) & jnp.isfinite(med)
+    return jnp.where(ok, jnp.clip(med, 0.05 * prior, 20.0 * prior), prior)
+
+
 def assign_free_slots(free_mask: jnp.ndarray, new_valid: jnp.ndarray
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Slot assignment for a batch of recruit candidates: the j-th VALID
@@ -287,8 +327,9 @@ def fused_update_health_recruit_predict(
     where the candidate was not added). New-slot depth defaults to the
     configured prior ``sal_pnt_init_inv_dist`` (NOT ground truth — reference
     GetNewSphericalSalientPointState :2398 semantics); ``rho0`` overrides it
-    with a traced scalar (e.g. the median tracked inverse depth — a
-    scene-adaptive prior the caller computes from the live filter state).
+    with a traced scalar or per-candidate [M] vector (e.g. the median /
+    spatially-local tracked inverse depth — scene-adaptive priors the caller
+    computes from the live filter state).
     """
     from surikatoko_tpu.models.monoslam import landmarks as lm_mod
 
@@ -319,14 +360,16 @@ def fused_update_health_recruit_predict(
         rho0 = params.sal_pnt_init_inv_dist.astype(dtype)
     else:
         rho0 = rho0.astype(dtype)
+    rho0_m = jnp.broadcast_to(jnp.atleast_1d(rho0), (M,))  # scalar or [M]
     g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
 
-    def one(pix):
-        y = g_rho(cam_pq, pix, rho0)
-        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, rho0)
+    def one(pix, r0):
+        y = g_rho(cam_pq, pix, r0)
+        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, r0)
         return y, Jc, Jp, Jr
 
-    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(new_pix)  # [M,6],[M,6,7],[M,6,2],[M,6]
+    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(
+        new_pix, rho0_m)                     # [M,6],[M,6,7],[M,6,2],[M,6]
     r_var = params.measurm_noise_var.astype(dtype)
     rho_var = params.sal_pnt_init_inv_dist_std.astype(dtype) ** 2
     JcP77 = jnp.einsum("mij,jk->mik", Jc_m, P77)        # [M,6,7]

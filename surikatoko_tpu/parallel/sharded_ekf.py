@@ -112,7 +112,8 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
 
     ``recruit`` optionally carries (new_pix [M,2] REPLICATED candidate
     pixels, new_valid [M] replicated, free_loc [L] bool LOCAL free slots,
-    rho0 replicated scalar inverse-depth prior or None for the configured
+    rho0 replicated scalar or per-candidate [M] inverse-depth prior, or None
+    for the configured
     one) and splices per-frame landmark RECRUITMENT into the congruence — the
     sharded twin of fused_step.fused_update_health_recruit_predict
     (reference ProcessFrame davison-mono-slam.cpp:923 ->
@@ -243,14 +244,15 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
 
     rho0 = (params.sal_pnt_init_inv_dist.astype(dtype) if rho0_in is None
             else rho0_in.astype(dtype))
+    rho0_m = jnp.broadcast_to(jnp.atleast_1d(rho0), (M,))  # scalar or [M]
     g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
 
-    def one(pix):
-        y = g_rho(cam_pq, pix, rho0)
-        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, rho0)
+    def one(pix, r0):
+        y = g_rho(cam_pq, pix, r0)
+        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, r0)
         return y, Jc, Jp, Jr
 
-    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(new_pix)
+    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(new_pix, rho0_m)
     rho_var = params.sal_pnt_init_inv_dist_std.astype(dtype) ** 2
     JcP77 = jnp.einsum("mij,jk->mik", Jc_m, P77)
     auto_m = (jnp.einsum("mik,mjk->mij", JcP77, Jc_m)

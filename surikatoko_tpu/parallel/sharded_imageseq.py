@@ -102,12 +102,12 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
     lm_unobserved, lm_generation, (err, n_matched, cam_pos, n_recruited,
     n_active)) back — templates now evolve on device."""
     from surikatoko_tpu.models.monoslam.fused_step import (
-        median_tracked_inv_depth)
+        local_tracked_inv_depth, median_tracked_inv_depth)
     from surikatoko_tpu.ops.ncc import ncc_search
     from surikatoko_tpu.vision import features
     from surikatoko_tpu.world.device_runner import _gather_templates
 
-    if recruit_depth not in ("prior", "median"):
+    if recruit_depth not in ("prior", "median", "local"):
         raise ValueError(f"unknown recruit_depth {recruit_depth!r}")
     n_dev = mesh.devices.size
     assert capacity % n_dev == 0, (capacity, n_dev)
@@ -203,12 +203,20 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
                     budget = jnp.clip(target_active - n_act, 0, recruit_max)
                     new_valid = jnp.logical_and(
                         new_valid, jnp.arange(recruit_max) < budget)
-                # scene-adaptive depth prior: x is replicated and active_all
-                # already gathered, so the median is computed identically on
-                # every device (bitwise parity with the single-device runner)
-                rho0 = (median_tracked_inv_depth(params, x, active_all,
-                                                 capacity)
-                        if recruit_depth == "median" else None)
+                # scene-adaptive depth priors: x is replicated and
+                # active_all / cur_pos_all already gathered, so both the
+                # global median and the per-candidate LOCAL neighbourhood
+                # median are computed identically on every device (bitwise
+                # parity with the single-device runner)
+                if recruit_depth == "median":
+                    rho0 = median_tracked_inv_depth(params, x, active_all,
+                                                    capacity)
+                elif recruit_depth == "local":
+                    rho0 = local_tracked_inv_depth(params, x, active_all,
+                                                   capacity, new_pix,
+                                                   cur_pos_all)
+                else:
+                    rho0 = None
                 (x_next, P_cam_new, P_lm_new, resid_loc, x1,
                  slots) = _local_fused_kernel(
                     params, capacity, x, P_cam, P_lm, lms_loc, obs_loc,

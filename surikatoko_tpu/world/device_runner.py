@@ -241,10 +241,13 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
     setpoint (None = refill whenever slots are free). ``recruit_depth``:
     "prior" = the configured flat inverse-depth prior (reference
     GetNewSphericalSalientPointState :2398 semantics); "median" = the
-    median tracked inverse depth (fused_step.median_tracked_inv_depth, a
-    scene-adaptive prior that costs one masked sort — measured to cut the
-    churned K=768 ATE materially, see bench imageseq keys). Requires
-    update_impl=1 (the fused path; impls 2-4 recruit host-side via
+    GLOBAL median tracked inverse depth (fused_step.median_tracked_inv_depth
+    — measured WORSE than the flat prior on the wide-sweep world, kept as an
+    option); "local" = the per-candidate median inverse depth of the 8
+    nearest tracked landmarks in pixel space
+    (fused_step.local_tracked_inv_depth — the depth field is spatially
+    smooth, so a recruit's depth is best predicted by its neighbours).
+    Requires update_impl=1 (the fused path; impls 2-4 recruit host-side via
     MonoSlamFilter.process_frame).
 
     Returns jitted (state, templates, sc, frames [T]) -> (state, templates,
@@ -256,7 +259,7 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
 
     if recruit and update_impl != 1:
         raise ValueError("on-device recruitment requires update_impl=1")
-    if recruit_depth not in ("prior", "median"):
+    if recruit_depth not in ("prior", "median", "local"):
         raise ValueError(f"unknown recruit_depth {recruit_depth!r}")
 
     def frame_body(sc: ImageSeqDeviceScenario, carry, f):
@@ -335,9 +338,14 @@ def make_imageseq_scan_runner(params: MonoSlamParams, *, templ_width: int = 15,
                 budget = jnp.clip(target_active - n_act, 0, recruit_max)
                 new_valid = jnp.logical_and(
                     new_valid, jnp.arange(recruit_max) < budget)
-            rho0 = (fused_mod.median_tracked_inv_depth(
-                        params, state.x, active_after, Kcap)
-                    if recruit_depth == "median" else None)
+            if recruit_depth == "median":
+                rho0 = fused_mod.median_tracked_inv_depth(
+                    params, state.x, active_after, Kcap)
+            elif recruit_depth == "local":
+                rho0 = fused_mod.local_tracked_inv_depth(
+                    params, state.x, active_after, Kcap, new_pix, cur_pos)
+            else:
+                rho0 = None
             x_next, P_next, resid, x_upd, slots = (
                 fused_mod.fused_update_health_recruit_predict(
                     params, state.x, state.P, obs, obs_mask,

@@ -86,14 +86,18 @@ def _setup_churn(capacity=16, n_points=24, dtype=jnp.float64,
     return params, sc, st, templates
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
-def test_sharded_imageseq_recruit_matches_single(n_dev):
+@pytest.mark.parametrize("n_dev,depth", [(2, "prior"), (8, "prior"),
+                                         (8, "local")])
+def test_sharded_imageseq_recruit_matches_single(n_dev, depth):
     """The CHURNED sharded loop (per-frame recruitment through the
     distributed fused recruit congruence + delete-unobserved) must match
     the single-device recruit runner exactly on every discrete decision
     (slots claimed, generations, templates) and to fused-parity tolerance
     on the state (VERDICT r4 item 1 — the last capability asymmetry
-    between the benchmarked flagship and its multi-chip twin)."""
+    between the benchmarked flagship and its multi-chip twin). The "local"
+    case additionally pins the per-candidate neighbourhood depth prior's
+    replicated computation (all_gathered positions feed
+    local_tracked_inv_depth identically on every device)."""
     params, sc, st, templates = _setup_churn()
     # kill one tracked slot's template: forces a delete (frame ~5) and a
     # later re-recruit into the freed slot — generation goes to 2 and the
@@ -101,7 +105,7 @@ def test_sharded_imageseq_recruit_matches_single(n_dev):
     templates = templates.at[3].set(0.0)
     frames = jnp.arange(1, 13)
     kw = dict(templ_width=15, use_pallas=False, recruit=True,
-              recruit_max=4, detector_corners=24)
+              recruit_max=4, detector_corners=24, recruit_depth=depth)
 
     run1 = dr.make_imageseq_scan_runner(params, **kw)
     st1, tm1, (err1, n1, pos1, nrec1, nact1) = run1(st, templates, sc,

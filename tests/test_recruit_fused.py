@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from surikatoko_tpu.geom import camera
+from surikatoko_tpu.geom.align import aligned_rmse
 from surikatoko_tpu.models.monoslam import (
     fused_step, health, landmarks, make_params, init_state, predict, update)
 from surikatoko_tpu.world.device_runner import (
@@ -222,3 +223,105 @@ def test_recruit_xyz_repres():
     np.testing.assert_allclose(np.asarray(xf), np.asarray(st_s.x), atol=1e-11)
     np.testing.assert_allclose(np.asarray(Pf), np.asarray(st_s.P),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_local_tracked_inv_depth_follows_neighbourhood():
+    """Two depth clusters on opposite image sides: each candidate's local
+    prior must match ITS side's median inverse depth, not the global one;
+    with nothing usable nearby the prior falls back to the configured one."""
+    params, state, _, _, _ = _setup(capacity=12, n_free=0)
+    cap = state.capacity
+    x = state.x
+    # overwrite rho: slots 0-5 shallow (rho=2.0), slots 6-11 deep (rho=0.2)
+    lm = x[13:].reshape(cap, 6)
+    lm = lm.at[:6, 5].set(2.0).at[6:, 5].set(0.2)
+    x = x.at[13:].set(lm.reshape(-1))
+    slot_pix = jnp.concatenate([
+        jnp.stack([jnp.full((6,), 40.0), jnp.linspace(40, 200, 6)], axis=1),
+        jnp.stack([jnp.full((6,), 280.0), jnp.linspace(40, 200, 6)], axis=1),
+    ]).astype(x.dtype)
+    active = jnp.ones((cap,), bool)
+    cand = jnp.asarray([[45.0, 120.0], [275.0, 120.0]], x.dtype)
+    rho0 = fused_step.local_tracked_inv_depth(
+        params, x, active, cap, cand, slot_pix, k_nearest=4)
+    np.testing.assert_allclose(np.asarray(rho0), [2.0, 0.2], rtol=1e-12)
+
+    # clipping: local median far above the prior clips to 20x prior (0.5)
+    lm2 = lm.at[:, 5].set(100.0)
+    x2 = x.at[13:].set(lm2.reshape(-1))
+    rho_hi = fused_step.local_tracked_inv_depth(
+        params, x2, active, cap, cand, slot_pix, k_nearest=4)
+    np.testing.assert_allclose(np.asarray(rho_hi), [10.0, 10.0], rtol=1e-12)
+
+    # nothing active -> per-candidate fallback to the configured prior
+    rho_fb = fused_step.local_tracked_inv_depth(
+        params, x, jnp.zeros((cap,), bool), cap, cand, slot_pix)
+    np.testing.assert_allclose(np.asarray(rho_fb), [0.5, 0.5], rtol=1e-12)
+
+
+def test_recruit_rho0_vector_matches_scalar():
+    """A constant per-candidate rho0 vector must reproduce the scalar-rho0
+    fused recruit bitwise; a heterogeneous vector must place each recruit at
+    ITS OWN inverse depth."""
+    params, state, obs, obs_mask, _ = _setup()
+    new_pix = _candidates(3, jax.random.PRNGKey(13))
+    new_valid = jnp.asarray([True, True, True])
+    free = jnp.logical_not(state.lm_active)
+
+    rho_s = jnp.asarray(0.7, state.x.dtype)
+    xs, Ps, _, _, slots_s = fused_step.fused_update_health_recruit_predict(
+        params, state.x, state.P, obs, obs_mask, new_pix, new_valid, free,
+        rho0=rho_s)
+    xv, Pv, _, _, slots_v = fused_step.fused_update_health_recruit_predict(
+        params, state.x, state.P, obs, obs_mask, new_pix, new_valid, free,
+        rho0=jnp.full((3,), 0.7, state.x.dtype))
+    np.testing.assert_array_equal(np.asarray(slots_s), np.asarray(slots_v))
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(xv))
+    np.testing.assert_array_equal(np.asarray(Ps), np.asarray(Pv))
+
+    rho_het = jnp.asarray([0.3, 0.7, 1.4], state.x.dtype)
+    xh, _, _, _, slots_h = fused_step.fused_update_health_recruit_predict(
+        params, state.x, state.P, obs, obs_mask, new_pix, new_valid, free,
+        rho0=rho_het)
+    for m, s in enumerate(np.asarray(slots_h)):
+        assert s >= 0
+        got = float(xh[13 + 6 * int(s) + 5])
+        np.testing.assert_allclose(got, float(rho_het[m]), rtol=1e-12)
+
+
+def test_recruit_loop_local_depth_runs():
+    """The imageseq runner's recruit_depth='local' lane compiles, churns and
+    tracks (CPU, f64) — the on-chip accuracy decision lives in
+    analysis/measure_churn_accuracy.py variants k/l."""
+    (st, tm, (err, n, pos, nrec, nact)), gt_pos = _run_local_churn()
+    assert bool(jnp.all(jnp.isfinite(err)))
+    assert int(jnp.sum(nrec)) > 0
+    ate = float(aligned_rmse(pos, gt_pos))
+    assert np.isfinite(ate)
+
+
+def _run_local_churn():
+    from surikatoko_tpu.world.device_runner import (
+        build_imageseq_scenario, init_imageseq, make_imageseq_scan_runner)
+    dtype = jnp.float64
+    sc = build_imageseq_scenario(capacity=24, n_points=24, dtype=dtype,
+                                 image_size=(320, 240), bg_cell=32,
+                                 max_deviation=1.0, world="grid")
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                 (0.01, 0.01), dtype=dtype)
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.075,
+                         process_noise_ang_veloc_std=0.01,
+                         sal_pnt_init_inv_dist=0.5,
+                         sal_pnt_init_inv_dist_std=0.5,
+                         max_undetected_frames=8, dtype=dtype)
+    st = init_state(24, dtype=dtype)
+    st, templates = jax.jit(lambda s: init_imageseq(
+        params, sc, s, 15, max_bootstrap=20))(st)
+    run = make_imageseq_scan_runner(params, templ_width=15, search_radius=9,
+                                    recruit=True, recruit_max=4,
+                                    recruit_depth="local", use_pallas=False)
+    fr = jnp.arange(1, 41)
+    out = run(st, templates, sc, fr)
+    gt_pos = -jnp.einsum("fji,fj->fi", sc.gt_cfw_R[fr], sc.gt_cfw_t[fr])
+    return out, gt_pos
