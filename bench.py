@@ -37,7 +37,12 @@ Extra keys recorded alongside the headline number:
   unmitigated_f32_*      control: the same loop with the f32 conditioning
                          mitigations OFF, run past the ~120-frame failure
                          horizon — must degrade (the reason the mitigations
-                         exist, re-measured every round)
+                         exist, re-measured every round; the degradation
+                         MODE is chaotic across code perturbations — some
+                         rounds collapse tracking via stale landmarks
+                         (637 -> 139 matches), some go outright non-finite
+                         (first_bad_frame 267 this round) — the control
+                         asserts only that SOME failure mode fires)
   ncc_pallas_maxdiff     on-device Pallas-vs-XLA NCC parity (max |corr diff|
                          over matched slots of one rendered frame)
   schur_pct_of_ceiling   full-width 10k x 500 sparse Schur solve as % of the
@@ -330,6 +335,11 @@ def main() -> None:
     unmit_degraded = bool(first_bad >= 0 or min_diag_u < 0
                           or not bool(jnp.all(jnp.isfinite(st_u.x)))
                           or matched_late < n_match_med * 17 // 20)
+    if not smoke:
+        # the conditioning policy's justification: without it, SOME failure
+        # mode fires (the mode itself is chaotic across code revisions —
+        # PSD loss, non-finite states, or stale-landmark tracking collapse)
+        assert unmit_degraded, "unmitigated control no longer degrades"
 
     # ---- sharded imageseq runner ON THE REAL CHIP (VERDICT r4 item 7):
     # a 1-device "lm" mesh executes the full shard_map composition —
@@ -616,16 +626,20 @@ def main() -> None:
     # 2): reduced-but-representative size; the full 10k x 512 README run
     # uses the same code path (demos/demo_mvf_at_scale.py) ----
     _progress("MVF at-scale closed loop (reduced size)")
+    import contextlib
     from demo_mvf_at_scale import make_args, run_at_scale
-    mvf_res = run_at_scale(make_args(
-        points=300 if smoke else 2048,
-        frames=40 if smoke else 128,
-        revisit_frames=8 if smoke else 12,
-        window_ba_every=8 if smoke else 5,
-        global_ba_every=20 if smoke else 32,
-        ba_iters=3 if smoke else 5,
-        final_polish_iters=10 if smoke else 30,
-        f32=True))
+    with contextlib.redirect_stdout(sys.stderr):
+        # the demo narrates per-stage progress on stdout; bench's stdout
+        # contract is ONE JSON line
+        mvf_res = run_at_scale(make_args(
+            points=300 if smoke else 2048,
+            frames=40 if smoke else 128,
+            revisit_frames=8 if smoke else 12,
+            window_ba_every=8 if smoke else 5,
+            global_ba_every=20 if smoke else 32,
+            ba_iters=3 if smoke else 5,
+            final_polish_iters=10 if smoke else 30,
+            f32=True))
 
     print(json.dumps({
         "metric": "monoslam_scenario03_frames_per_sec_per_chip",

@@ -14,6 +14,7 @@ reference's per-landmark cv::Mat templates).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -68,20 +69,29 @@ class ImageTemplCornersMatcher:
         self.last_gate_stats: dict = {}
         self._window_cells = (2 * search_radius + 1) ** 2
         self._image = None
+        self._image_np = None                 # host copy (template cutting)
         self._prefetched = None               # (image, corners, valid) futures
         self._detected = None                 # detection for current frame
+        self.last_new_pix_np = np.zeros((self.max_new, 2))   # host copy of
+        # the latest recruit candidates (saves a device round-trip when the
+        # caller cuts templates; see run_image_sequence_pipelined)
+        self._n_free_cache = (None, 0)        # (id(state), free slots)
 
     # ---- CornersMatcherBase.AnalyzeFrame ----
     def analyze_frame(self, image_gray: np.ndarray | None = None) -> None:
         """Make ``image_gray`` the current frame; with no argument, consume
         the buffers queued by :meth:`prefetch_frame` (pipelined loop)."""
+        # new frame -> the free-slot cache from the previous frame's state
+        # must not survive (a recycled object id could alias a NEW state)
+        self._n_free_cache = (None, 0)
         if image_gray is None:
             assert self._prefetched is not None, "no prefetched frame"
-            self._image, *det = self._prefetched
+            self._image, self._image_np, *det = self._prefetched
             self._detected = tuple(det)
             self._prefetched = None
         else:
-            self._image = jnp.asarray(image_gray, jnp.float32)
+            self._image_np = np.asarray(image_gray, np.float32)
+            self._image = jnp.asarray(self._image_np)
             self._detected = None
             # drop any queued prefetch: a later argument-less analyze_frame
             # must not silently consume a frame older than this one
@@ -96,11 +106,12 @@ class ImageTemplCornersMatcher:
         could only get from its worker/UI thread split,
         demo-davison-mono-slam-ui.h:164 — here it falls out of XLA's async
         dispatch; see world/runner.run_image_sequence_pipelined)."""
-        img = jnp.asarray(image_gray, jnp.float32)
+        img_np = np.asarray(image_gray, np.float32)
+        img = jnp.asarray(img_np)
         corners, valid = features.detect_corners(
             img, max_corners=self.detector_max_corners,
             border=self.templ_width)
-        self._prefetched = (img, corners, valid)
+        self._prefetched = (img, img_np, corners, valid)
 
     # ---- CornersMatcherBase.MatchSalientPoints ----
     def match_salient_points(self, state: MonoSlamState, frame_ind: int
@@ -112,8 +123,7 @@ class ImageTemplCornersMatcher:
         centers, cov2 = self.tracker.predicted_pixel_uncertainty(state)
         sigma_inv = jnp.linalg.inv(
             cov2 + 1e-9 * jnp.eye(2, dtype=cov2.dtype))
-        active = jnp.asarray(self.templ_valid) & jnp.asarray(
-            np.asarray(state.lm_active))
+        active = jnp.asarray(self.templ_valid) & state.lm_active
         res = self._search(
             self._image,
             jnp.asarray(centers, jnp.float32),
@@ -121,12 +131,19 @@ class ImageTemplCornersMatcher:
             active,
             sigma_inv=jnp.asarray(sigma_inv, jnp.float32),
         )
-        self.executed_match_templ_calls += int(np.sum(np.asarray(active)))
-        matched = np.asarray(res.matched)
-        best = np.asarray(res.best_center)
-        act_np = np.asarray(active)
-        gated = int(np.sum(np.asarray(res.n_gated)[act_np]))
-        in_ell = int(np.sum(np.asarray(res.in_ellipse)[matched]))
+        # ONE batched readback for everything the host needs this stage: on
+        # a remote-attached TPU each separate np.asarray fetch pays a full
+        # tunnel round-trip (~25 ms), which dominated the host-driven loop
+        # (measured 2.6 fps = ~12 fetches/frame; same pattern as the BA
+        # readbacks, analysis/bench_pipelined.py)
+        matched, best, act_np, n_gated_np, in_ell_np, n_free = (
+            jax.device_get((res.matched, res.best_center, active,
+                            res.n_gated, res.in_ellipse,
+                            jnp.sum(~state.lm_active))))
+        self._n_free_cache = (id(state), int(n_free))
+        self.executed_match_templ_calls += int(act_np.sum())
+        gated = int(n_gated_np[act_np].sum())
+        in_ell = int(in_ell_np[matched].sum())
         window = int(act_np.sum()) * self._window_cells
         self.templ_evals_window += window
         self.templ_evals_gated += gated
@@ -157,18 +174,26 @@ class ImageTemplCornersMatcher:
                 border=self.templ_width)
         # suppress candidates near currently tracked landmark projections
         proj = self.tracker.predicted_pixels(state)
-        exist_valid = jnp.asarray(np.asarray(state.lm_active))
         valid = features.filter_out_closest(
-            corners, valid, jnp.asarray(proj, corners.dtype), exist_valid,
-            self.min_dist_new)
-        # budget: free slots and per-frame cap
-        free = int(np.sum(~np.asarray(state.lm_active)))
+            corners, valid, jnp.asarray(proj, corners.dtype),
+            state.lm_active, self.min_dist_new)
+        # budget: free slots and per-frame cap. The free count rides the
+        # match stage's batched readback when available (same state);
+        # corners+valid fetch together — one round-trip for the stage
+        cache_id, free = self._n_free_cache
+        if cache_id == id(state):
+            corners_np, valid_np = jax.device_get((corners, valid))
+        else:
+            corners_np, valid_np, n_free = jax.device_get(
+                (corners, valid, jnp.sum(~state.lm_active)))
+            free = int(n_free)
         budget = min(M, free)
-        cand = np.asarray(corners)[np.asarray(valid)][:budget]
+        cand = corners_np[valid_np][:budget]
         new_pix = np.zeros((M, 2))
         new_mask = np.zeros(M, bool)
         new_pix[: len(cand)] = cand
         new_mask[: len(cand)] = True
+        self.last_new_pix_np = new_pix
         return jnp.asarray(new_pix), jnp.asarray(new_mask)
 
     # ---- template store management ----
@@ -176,7 +201,10 @@ class ImageTemplCornersMatcher:
                            state: MonoSlamState) -> None:
         """Cut and cache the template patch of each newly added landmark
         (reference GetBlobTemplate)."""
-        img = np.asarray(self._image)
+        # the frame came FROM the host — cut templates from the host copy
+        # instead of fetching the device buffer back through the tunnel
+        img = (self._image_np if self._image_np is not None
+               else np.asarray(self._image))
         T = self.templ_width
         half = (T - 1) // 2
         H, W = img.shape
@@ -192,8 +220,13 @@ class ImageTemplCornersMatcher:
             self.templ_valid[s] = True
             self.last_center[s] = (x, y)
 
-    def sync_removed(self, state: MonoSlamState) -> None:
-        self.templ_valid &= np.asarray(state.lm_active)
+    def sync_removed(self, state: MonoSlamState,
+                     lm_active_np: np.ndarray | None = None) -> None:
+        """Drop templates of deactivated slots; pass ``lm_active_np`` when
+        the caller already fetched the mask (saves the round-trip)."""
+        if lm_active_np is None:
+            lm_active_np = np.asarray(state.lm_active)
+        self.templ_valid &= lm_active_np
 
 
 class KltCornersMatcher(ImageTemplCornersMatcher):
@@ -232,13 +265,11 @@ class KltCornersMatcher(ImageTemplCornersMatcher):
                 or self._prev_image is None):
             return jnp.zeros((K, 2)), jnp.zeros(K, bool)
 
-        active = jnp.asarray(self.templ_valid) & jnp.asarray(
-            np.asarray(state.lm_active))
+        active = jnp.asarray(self.templ_valid) & state.lm_active
         res = klt.track_points(
             self._prev_image, self._image,
             jnp.asarray(self.last_center, jnp.float32), active,
             levels=self.klt_levels, win=self.klt_win, iters=self.klt_iters)
-        self.executed_match_templ_calls += int(np.sum(np.asarray(active)))
 
         # innovation gate against the predicted projection uncertainty
         centers, cov2 = self.tracker.predicted_pixel_uncertainty(state)
@@ -246,7 +277,10 @@ class KltCornersMatcher(ImageTemplCornersMatcher):
         innov = res.points - centers.astype(res.points.dtype)
         maha = jnp.einsum("ki,kij,kj->k", innov,
                           sigma_inv.astype(res.points.dtype), innov)
-        matched = np.asarray(res.status & active & (maha < self._chi2))
-        best = np.asarray(res.points)
+        matched, best, n_act, n_free = jax.device_get(
+            (res.status & active & (maha < self._chi2), res.points,
+             jnp.sum(active), jnp.sum(~state.lm_active)))
+        self._n_free_cache = (id(state), int(n_free))
+        self.executed_match_templ_calls += int(n_act)
         self.last_center[matched] = best[matched]
         return jnp.asarray(np.where(matched[:, None], best, 0.0)), jnp.asarray(matched)

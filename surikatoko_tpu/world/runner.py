@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -139,9 +140,15 @@ def run_image_sequence_pipelined(
       fetch step(f)'s new_slots, cut templates  [first block; device has
                                                  already started f+1's work]
 
-    On the remote-attached TPU every avoided idle gap also avoids a tunnel
-    round-trip, so the pipelined loop is measurably faster end-to-end
-    (analysis/bench_pipelined.py).
+    On a locally-attached accelerator the overlap hides decode + detection
+    under device compute. On the REMOTE-attached TPU the frame cost is
+    round-trip-bound, and what matters most is fetch count: batching each
+    stage's host readbacks into single device_get calls took the loop from
+    1.7 to 3.65 fps (matcher + this loop, measured 2026-08-21,
+    analysis/bench_pipelined.py), after which the pipelined and sequential
+    schedules time within noise of each other (speedup ~0.95-1.0x on the
+    tunnel; the pipelined schedule stays the default for its local-host
+    overlap and identical results).
     """
     if state is None:
         state = tracker.init_state()
@@ -161,9 +168,19 @@ def run_image_sequence_pipelined(
         cur = next(it, None)
         if cur is not None:                     # overlaps the step above
             matcher.prefetch_frame(np.asarray(cur))
-        matcher.on_landmarks_added(np.asarray(stats.new_slots),
-                                   np.asarray(new_pix), state)
-        matcher.sync_removed(state)
+        # ONE batched readback for the frame's host bookkeeping (remote
+        # tunnel: every separate fetch is a ~25 ms round-trip); the recruit
+        # pixels were built host-side, so reuse the matcher's host copy
+        new_slots_np, lm_active_np = jax.device_get(
+            (stats.new_slots, state.lm_active))
+        new_pix_np = getattr(matcher, "last_new_pix_np", None)
+        if new_pix_np is None:
+            new_pix_np = np.asarray(new_pix)
+        matcher.on_landmarks_added(new_slots_np, new_pix_np, state)
+        try:
+            matcher.sync_removed(state, lm_active_np)
+        except TypeError:                       # matcher predates the param
+            matcher.sync_removed(state)
         stats_list.append(stats)
         f += 1
     return state, stats_list
