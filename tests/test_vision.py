@@ -263,3 +263,45 @@ def test_filter_out_closest():
     ok = features.filter_out_closest(cand, jnp.ones(2, bool), exist,
                                      jnp.ones(1, bool), min_dist=5.0)
     assert list(np.asarray(ok)) == [False, True]
+
+
+def test_matcher_recruit_without_match_uses_fresh_free_count(rng):
+    """recruit_new_salient_points called WITHOUT a preceding
+    match_salient_points on the same state (the free-count cache is cold)
+    must compute the free-slot budget itself: recruits fill exactly the
+    free capacity. Guards the round-5 batched-readback cache — a stale or
+    missing cache must never over- or under-budget recruits."""
+    from surikatoko_tpu.geom import camera
+    from surikatoko_tpu.models.monoslam import MonoSlamFilter, make_params
+    from surikatoko_tpu.vision.matcher import ImageTemplCornersMatcher
+
+    cam = camera.make_intrinsics((320, 240), (160.0, 120.0), 1.95,
+                                 (0.01, 0.01))
+    params = make_params(cam, None, dt=1.0,
+                         process_noise_lin_veloc_std=0.02,
+                         process_noise_ang_veloc_std=0.005)
+    tracker = MonoSlamFilter(params, capacity=4, update_impl=1)
+    matcher = ImageTemplCornersMatcher(tracker, templ_width=15,
+                                       search_radius=8,
+                                       detector_max_corners=8,
+                                       min_distance_new_to_tracked=5.0)
+    state = tracker.init_state()
+    img = render_blobs(np.array([[60.0, 60.0], [160.0, 120.0],
+                                 [240.0, 180.0], [90.0, 170.0],
+                                 [210.0, 70.0], [120.0, 200.0]]))
+    matcher.analyze_frame(img)
+    assert matcher._n_free_cache[0] is None          # cold cache
+    new_pix, new_mask = matcher.recruit_new_salient_points(
+        state, 0, np.zeros(4, bool))
+    n = int(np.sum(np.asarray(new_mask)))
+    assert 0 < n <= 4                                # capped by free slots
+    state, stats = tracker.process_frame(
+        state, jnp.zeros((4, 2)), jnp.zeros(4, bool), new_pix, new_mask)
+    matcher.on_landmarks_added(np.asarray(stats.new_slots),
+                               matcher.last_new_pix_np, state)
+    # all capacity used -> a fresh recruit call must budget ZERO
+    if int(np.sum(np.asarray(state.lm_active))) == 4:
+        matcher.analyze_frame(img)                   # invalidates the cache
+        _, mask2 = matcher.recruit_new_salient_points(
+            state, 1, np.zeros(4, bool))
+        assert int(np.sum(np.asarray(mask2))) == 0
