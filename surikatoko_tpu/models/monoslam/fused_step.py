@@ -169,30 +169,40 @@ def _fused_covariance_predict(params, x, P, B, keep, x_next, Cp, G,
     """Shared tail of the fused frame step: the one-write covariance
     congruence P+ = V P V^T - (B V^T)^T (B V^T) + GQG plus the optional
     diagonal inflation. Split out so the recruit-fused variant
-    (fused_update_health_recruit_predict) can reuse it verbatim."""
-    dtype = x.dtype
-    kc, km = keep[:_N], keep[_N:]
+    (fused_update_health_recruit_predict) can reuse it verbatim.
 
-    # --- fused covariance: P+ = V P V^T - (B V^T)^T (B V^T) + GQG ---
-    Ac = Cp * kc[None, :]                               # W diag(keep) cam block
-    # B V^T: columns scaled by keep; first 13 columns hit by Ac^T
-    B2 = jnp.concatenate([B[:, :_N] @ Ac.T, B[:, _N:] * km[None, :]], axis=1)
-    # V P V^T stripe pieces
-    top_all = Ac @ P[:_N, :]                            # [13,D] = Ac P[:13,:]
+    Formulation (round 5): V = blockdiag(Cp, I) diag(keep), so the whole
+    landmark block is one fused masked downdate
+
+        D1 = P * keep keep^T - (B diag(keep))^T (B diag(keep))
+
+    (XLA fuses the mask and subtraction into the GEMM epilogue — ONE pass
+    over the [D,D] matrix) and only the 13 camera rows/cols need the
+    Cp congruence, applied as stripe overwrites with the column stripe
+    COPIED from the row stripe's transpose (keeps P == P^T to GEMM
+    tiling determinism, same as the concat-built predecessor). The
+    previous concat formulation materialized top/bottom/Pw separately —
+    measured 0.84 ms/frame slower at K=768 on v5e (7.04 -> 6.20 ms).
+    Algebraically identical; float-level differences are mask/Cp
+    reassociation only (f64 parity tests unaffected)."""
+    dtype = x.dtype
     Q = params.process_noise_cov.astype(dtype)
-    corner = top_all[:, :_N] @ Ac.T + G @ Q @ G.T       # Ac P11 Ac^T + GQG
+
+    Bk = B * keep[None, :]
+    # fused masked downdate; cam stripes below overwrite rows/cols :13
+    D1 = P * (keep[:, None] * keep[None, :]) - Bk.T @ Bk
+    top = Cp @ D1[:_N, :]                               # [13,D] cam rows
+    corner = top[:, :_N] @ Cp.T + G @ Q @ G.T
     corner = 0.5 * (corner + corner.T)
-    top = jnp.concatenate([corner, top_all[:, _N:] * km[None, :]], axis=1)
-    bottom_right = P[_N:, _N:] * (km[:, None] * km[None, :])
-    bottom = jnp.concatenate([top[:, _N:].T, bottom_right], axis=1)
-    Pw = jnp.concatenate([top, bottom], axis=0)         # V P V^T + GQG embed
-    P_next = Pw - B2.T @ B2                             # epilogue-fused write
+    top = top.at[:, :_N].set(corner)
+    P_next = D1.at[:_N, :].set(top)
+    P_next = P_next.at[:, :_N].set(top.T)               # symmetry by copy
     if params.covar_diag_inflation is not None:
         # per-frame diagonal inflation: insurance against slow PSD loss of
         # f32 downdates (2026-08-19 code measured the 1536-dim innovation
         # indefinite by ~2e-5 of its scale after ~120 chained K=768 frames;
-        # on current Gram-form/exact-symmetry congruences the unmitigated
-        # filter stays PSD 960+ frames — see bench unmitigated_f32_* keys).
+        # the unmitigated failure MODE is chaotic across code revisions —
+        # see bench unmitigated_f32_* keys, re-measured every round).
         # Statistically a tiny extra process noise on every variable; the
         # reference's f64 never needed it. Only variables with live (positive) variance
         # inflate — deactivated slots and the zero-covariance gauge anchor
