@@ -119,6 +119,11 @@ def main() -> None:
                 rows.append((int(gen[k] - gen0[k]), int(age[k]),
                              float(err[k])))
     rows = np.asarray(rows)
+    if rows.size == 0:
+        print(f"depth={args.depth}  samples=0 — no active+matched slots "
+              f"recorded (tracking collapsed or chunk boundaries never "
+              f"caught a match)")
+        return
 
     def med(sel):
         if not np.any(sel):

@@ -234,12 +234,23 @@ def median_tracked_inv_depth(params: MonoSlamParams, x: jnp.ndarray,
     if params.sal_pnt_repres != REPRES_SPHERICAL:
         return prior
     rho = x[_N:].reshape(Kcap, 6)[:, 5]
-    vals = jnp.where(active & (rho > 0) & jnp.isfinite(rho), rho, jnp.inf)
-    srt = jnp.sort(vals)
-    n_ok = jnp.sum(jnp.isfinite(vals).astype(jnp.int32))
-    med = srt[jnp.maximum((n_ok - 1) // 2, 0)]
-    ok = (n_ok > 0) & jnp.isfinite(med)
-    return jnp.where(ok, jnp.clip(med, 0.05 * prior, 20.0 * prior), prior)
+    usable = active & (rho > 0) & jnp.isfinite(rho)
+    return _clipped_median_or_prior(rho, usable, prior)
+
+
+def _clipped_median_or_prior(vals: jnp.ndarray, ok: jnp.ndarray,
+                             prior: jnp.ndarray) -> jnp.ndarray:
+    """Masked lower median over the last axis, clipped to [0.05, 20]x the
+    prior, falling back to the prior when nothing is usable — the shared
+    convention of BOTH scene-adaptive depth priors (global median and the
+    per-candidate local one)."""
+    masked = jnp.where(ok, vals, jnp.inf)
+    srt = jnp.sort(masked, axis=-1)
+    n_ok = jnp.sum(ok.astype(jnp.int32), axis=-1)
+    med = jnp.take_along_axis(
+        srt, jnp.maximum((n_ok - 1) // 2, 0)[..., None], axis=-1)[..., 0]
+    good = (n_ok > 0) & jnp.isfinite(med)
+    return jnp.where(good, jnp.clip(med, 0.05 * prior, 20.0 * prior), prior)
 
 
 def local_tracked_inv_depth(params: MonoSlamParams, x: jnp.ndarray,
@@ -269,17 +280,11 @@ def local_tracked_inv_depth(params: MonoSlamParams, x: jnp.ndarray,
     d2 = jnp.sum((cand_pix[:, None, :].astype(x.dtype)
                   - slot_pix[None, :, :].astype(x.dtype)) ** 2, axis=-1)
     d2 = jnp.where(usable[None, :], d2, jnp.inf)          # [M,K]
-    _, nn = jax.lax.top_k(-d2, k_nearest)                 # nearest first
-    rho_nn = rho[nn]                                      # [M,k]
-    ok_nn = usable[nn]                                    # [M,k]
-    # masked lower median over the (possibly <k) usable neighbours
-    vals = jnp.where(ok_nn, rho_nn, jnp.inf)
-    srt = jnp.sort(vals, axis=1)
-    n_ok = jnp.sum(ok_nn.astype(jnp.int32), axis=1)
-    med = jnp.take_along_axis(
-        srt, jnp.maximum((n_ok - 1) // 2, 0)[:, None], axis=1)[:, 0]
-    ok = (n_ok > 0) & jnp.isfinite(med)
-    return jnp.where(ok, jnp.clip(med, 0.05 * prior, 20.0 * prior), prior)
+    k = min(k_nearest, Kcap)             # small-capacity configs have <k slots
+    _, nn = jax.lax.top_k(-d2, k)                         # nearest first
+    # masked lower median over the (possibly <k) usable neighbours — the
+    # same convention as the global-median prior
+    return _clipped_median_or_prior(rho[nn], usable[nn], prior)
 
 
 def assign_free_slots(free_mask: jnp.ndarray, new_valid: jnp.ndarray

@@ -27,15 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _ncc_block_kernel(T: int, S: int, n_pix: float,
+def _ncc_block_kernel(T: int, S: int, n_pix: float, with_neigh: bool,
                       patches_ref, taps_ref, tssd_ref, gate_ref,
-                      best_corr_ref, best_idx_ref, neigh_ref):
+                      best_corr_ref, best_idx_ref, neigh_ref=None):
     """patches_ref [1,P,P,LANES]; taps_ref [1,T,T,LANES] (template - mean);
     tssd_ref [1,1,LANES]; gate_ref [1,S,S,LANES]; outputs best_corr/best_idx
-    [1,1,LANES] + neigh [1,4,LANES] (RAW ungated surface at the argmax's
-    x-1/x+1/y-1/y+1 neighbours — the subpixel parabola consumes these
-    instead of re-evaluating 4 ZNCCs per slot with dynamic slices; row-wrap
-    garbage at window edges is masked by the caller)."""
+    [1,1,LANES] + (with_neigh only) neigh [1,4,LANES] — the RAW ungated
+    surface at the argmax's x-1/x+1/y-1/y+1 neighbours, which the subpixel
+    parabola consumes instead of re-evaluating 4 ZNCCs per slot with
+    dynamic slices; row-wrap garbage at window edges is masked by the
+    caller. With subpixel off the neigh output and its 4 masked [S*S,LANES]
+    reductions are compiled out entirely."""
     dtype = patches_ref.dtype
 
     def row_body(i, acc):
@@ -62,13 +64,15 @@ def _ncc_block_kernel(T: int, S: int, n_pix: float,
     best = jnp.argmax(flat, axis=0).astype(jnp.int32)
     best_corr_ref[0, 0, :] = jnp.max(flat, axis=0)
     best_idx_ref[0, 0, :] = best
-    # one-hot gathers of the raw surface at best±1 (x) / best±S (y): a few
-    # masked [S*S, LANES] reductions vs the T^2-tap accumulation above
-    flat_raw = corr_raw.reshape(S * S, LANES)
-    iot = jax.lax.broadcasted_iota(jnp.int32, (S * S, LANES), 0)
-    for o, d in enumerate((-1, 1, -S, S)):
-        sel = iot == (best + d)[None, :]
-        neigh_ref[0, o, :] = jnp.sum(jnp.where(sel, flat_raw, 0.0), axis=0)
+    if with_neigh:
+        # one-hot gathers of the raw surface at best±1 (x) / best±S (y): a
+        # few masked [S*S, LANES] reductions vs the T^2-tap accumulation
+        flat_raw = corr_raw.reshape(S * S, LANES)
+        iot = jax.lax.broadcasted_iota(jnp.int32, (S * S, LANES), 0)
+        for o, d in enumerate((-1, 1, -S, S)):
+            sel = iot == (best + d)[None, :]
+            neigh_ref[0, o, :] = jnp.sum(jnp.where(sel, flat_raw, 0.0),
+                                         axis=0)
 
 
 def ncc_surface_argmax_pallas(
@@ -76,11 +80,13 @@ def ncc_surface_argmax_pallas(
     templates: jnp.ndarray,    # [K, T, T] f32
     gate: jnp.ndarray,         # [K, S, S] bool
     *,
+    with_neigh: bool = False,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(best_corr [K], best_flat_idx [K], neigh [K,4]) of the gated ZNCC
-    surface; ``neigh`` holds the RAW (ungated) surface at the argmax's
-    x-1/x+1/y-1/y+1 neighbours for subpixel refinement."""
+):
+    """(best_corr [K], best_flat_idx [K]) of the gated ZNCC surface; with
+    ``with_neigh=True`` additionally returns neigh [K,4] — the RAW
+    (ungated) surface at the argmax's x-1/x+1/y-1/y+1 neighbours for
+    subpixel refinement (compiled out of the kernel otherwise)."""
     K, P, _ = patches.shape
     T = templates.shape[-1]
     S = P - T + 1
@@ -104,8 +110,23 @@ def ncc_surface_argmax_pallas(
     gate_l = jnp.moveaxis(gate.reshape(G, LANES, S, S), 1, -1)        # [G,S,S,L]
     tssd_l = tssd.reshape(G, 1, LANES)
 
-    kernel = functools.partial(_ncc_block_kernel, T, S, float(T * T))
-    best_corr, best_idx, neigh = pl.pallas_call(
+    kernel = functools.partial(_ncc_block_kernel, T, S, float(T * T),
+                               with_neigh)
+    out_specs = [
+        pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, 1, LANES), patches.dtype),
+        jax.ShapeDtypeStruct((G, 1, LANES), jnp.int32),
+    ]
+    if with_neigh:
+        out_specs.append(pl.BlockSpec((1, 4, LANES), lambda g: (g, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((G, 4, LANES), patches.dtype))
+    out = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
@@ -118,20 +139,12 @@ def ncc_surface_argmax_pallas(
             pl.BlockSpec((1, S, S, LANES), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, LANES), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, 1, LANES), patches.dtype),
-            jax.ShapeDtypeStruct((G, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, 4, LANES), patches.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(patches_l, taps_l, tssd_l, gate_l)
-    return (best_corr.reshape(Kp)[:K], best_idx.reshape(Kp)[:K],
-            jnp.moveaxis(neigh, 1, -1).reshape(Kp, 4)[:K])
+    best_corr, best_idx = out[0], out[1]
+    res = (best_corr.reshape(Kp)[:K], best_idx.reshape(Kp)[:K])
+    if with_neigh:
+        res = res + (jnp.moveaxis(out[2], 1, -1).reshape(Kp, 4)[:K],)
+    return res

@@ -4,6 +4,7 @@ demos, and the benchmark."""
 
 from __future__ import annotations
 
+import inspect
 from typing import NamedTuple
 
 import jax
@@ -177,9 +178,13 @@ def run_image_sequence_pipelined(
         if new_pix_np is None:
             new_pix_np = np.asarray(new_pix)
         matcher.on_landmarks_added(new_slots_np, new_pix_np, state)
-        try:
+        # duck-typed matchers may predate the prefetched-mask parameter; a
+        # blind except TypeError would also swallow TypeErrors raised
+        # INSIDE sync_removed, so dispatch on the signature instead
+        if "lm_active_np" in inspect.signature(
+                matcher.sync_removed).parameters:
             matcher.sync_removed(state, lm_active_np)
-        except TypeError:                       # matcher predates the param
+        else:
             matcher.sync_removed(state)
         stats_list.append(stats)
         f += 1

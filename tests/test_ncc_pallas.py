@@ -23,7 +23,14 @@ def test_pallas_matches_conv_surface(rng, K, T, S):
     want_corr = jnp.max(surf_g.reshape(K, -1), axis=1)
 
     corr, idx, neigh = ncc_surface_argmax_pallas(patches, templs, gate,
+                                                 with_neigh=True,
                                                  interpret=True)
+    # the neigh-free variant (subpixel off: the flagship bench config)
+    # must agree on corr/idx
+    corr2, idx2 = ncc_surface_argmax_pallas(patches, templs, gate,
+                                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(corr2), np.asarray(corr))
     np.testing.assert_allclose(np.asarray(corr), np.asarray(want_corr),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
@@ -51,8 +58,8 @@ def test_pallas_padding_path(rng):
     patches = jnp.asarray(rng.uniform(0, 255, size=(K, P, P)), jnp.float32)
     templs = jnp.asarray(rng.uniform(0, 255, size=(K, T, T)), jnp.float32)
     gate = jnp.ones((K, S, S), bool)
-    corr, idx, _neigh = ncc_surface_argmax_pallas(patches, templs, gate,
-                                                  interpret=True)
+    corr, idx = ncc_surface_argmax_pallas(patches, templs, gate,
+                                          interpret=True)
     surf = templ_match.corr_coeff_surface(patches, templs)
     want = jnp.argmax(surf.reshape(K, -1), axis=1)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))

@@ -232,29 +232,29 @@ def test_detect_corners_on_blobs():
         assert d < 3.0, (p, d)
 
 
-def test_detect_corners_keeps_tile_runner_up():
-    """Regression (advisor r4, low): two legal NMS survivors 6-7 px apart
-    (nms_radius=5 only enforces >5 px Chebyshev spacing) can share one 8x8
-    reduction tile; the per-tile top-1 reduction dropped the runner-up.
-    The top-2 reduction must detect both."""
+def test_detect_corners_dense_cluster_none_dropped():
+    """Regression (advisor r4 + r5): legal NMS survivors that share a
+    coarse reduction tile were silently dropped — an 8x8 tile can hold up
+    to FOUR radius-5 survivors (pairwise Chebyshev 7 > 5), so even a
+    per-tile top-2 lost corners. With 4x4 tiles a tile holds at most one
+    radius>=3 survivor, so ALL of them must be detected. Peak strengths
+    are made distinct so nothing depends on exact float ties."""
     from surikatoko_tpu.vision import features
 
-    # two sharp corners inside the same 8x8 tile (rows 48..55, cols 48..55),
-    # 7 px apart diagonally -> distinct NMS peaks at nms_radius=5... no:
-    # Chebyshev distance 7 > 5, both survive NMS; same tile
+    corners = ((48, 48), (48, 55), (55, 48), (55, 55))
     img = np.full((96, 96), 30.0, np.float32)
-    for (cy, cx) in ((49, 49), (54, 54)):
+    for i, (cy, cx) in enumerate(corners):
         img[cy - 1:cy + 2, cx - 1:cx + 2] = 40.0
-        img[cy, cx] = 220.0
+        img[cy, cx] = 200.0 + 8.0 * i      # distinct, no tie-dependence
     xy, valid = features.detect_corners(jnp.asarray(img), max_corners=8,
                                         nms_radius=5, border=4,
                                         quality_level=0.05)
     xy = np.asarray(xy)[np.asarray(valid)]
     found = {tuple(p) for p in np.round(xy).astype(int)}
-    hits = sum(1 for (cy, cx) in ((49, 49), (54, 54))
+    hits = sum(1 for (cy, cx) in corners
                if any(abs(px - cx) <= 1 and abs(py - cy) <= 1
                       for px, py in found))
-    assert hits == 2, (found, hits)
+    assert hits == 4, (found, hits)
 
 
 def test_filter_out_closest():
