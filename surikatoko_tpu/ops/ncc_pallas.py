@@ -40,19 +40,33 @@ def _ncc_block_kernel(T: int, S: int, n_pix: float, with_neigh: bool,
     reductions are compiled out entirely."""
     dtype = patches_ref.dtype
 
-    def row_body(i, acc):
-        cp, ws, ws2 = acc
+    def row_body(i, cp):
         for j in range(T):                      # static: sublane offsets
             sl = patches_ref[0, pl.ds(i, S), pl.ds(j, S), :]  # [S,S,LANES]
             tval = taps_ref[0, i, j, :]                       # [LANES]
-            # every (i, j) template tap contributes to all three sums
             cp = cp + tval[None, None, :] * sl
-            ws = ws + sl
-            ws2 = ws2 + sl * sl
-        return cp, ws, ws2
+        return cp
 
     zero = jnp.zeros((S, S, LANES), dtype)
-    cp, ws, ws2 = jax.lax.fori_loop(0, T, row_body, (zero, zero, zero))
+    cp = jax.lax.fori_loop(0, T, row_body, zero)
+
+    # window sum / sum-of-squares are BOX filters — separable: one T-tap
+    # row pass to [S,P,LANES] strips, one T-tap column pass to [S,S,LANES],
+    # replacing 2*T^2 accumulation streams with 2*T. The win is modest
+    # (~5% of the search at T=S=15/K=768 on v5e: the T^2 loop's shifted
+    # window LOADS dominate and the numerator still needs every one of
+    # them — only the redundant ws/ws2 FMAs disappear). Numerics: same
+    # values summed in a different association — parity vs the XLA conv
+    # path is pinned at 1e-4/1e-5 in tests and re-measured on-chip every
+    # round by the bench's ncc_pallas_maxdiff key
+    patch = patches_ref[0]                                    # [P,P,LANES]
+    sq = patch * patch
+    # static python loops: T is a trace-time constant and Mosaic lowers
+    # static value slices (dynamic_slice on values is unsupported)
+    rs = sum(patch[i:i + S, :, :] for i in range(T))          # [S,P,LANES]
+    rs2 = sum(sq[i:i + S, :, :] for i in range(T))
+    ws = sum(rs[:, j:j + S, :] for j in range(T))             # [S,S,LANES]
+    ws2 = sum(rs2[:, j:j + S, :] for j in range(T))
 
     var_term = jnp.maximum(ws2 - ws * ws * (1.0 / n_pix), 0.0)
     denom = jnp.sqrt(var_term) * tssd_ref[0, 0, :][None, None, :]
