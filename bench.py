@@ -19,7 +19,7 @@ Extra keys recorded alongside the headline number:
                          steady-state landmark churn (BASELINE configs[3]);
                          fps / ATE / matched / recruited / active / slot-
                          generation keys
-  imageseq_ate_norecuit_k768  no-recruit control on the SAME wide world:
+  imageseq_ate_norecruit_k768  no-recruit control on the SAME wide world:
                          recruitment must track strictly better (asserted,
                          along with an absolute churned-ATE bound < 0.25 —
                          r4's "churn costs 2.5x" compared different worlds)
@@ -277,11 +277,11 @@ def main() -> None:
     _ = float(jnp.sum(st_cw.x))
     st_c2, (_, n_ctl_b, pos_ctl) = run_ctl(st_cw, tmpl_c, sc_big, fr_timed)
     _ = float(jnp.sum(st_c2.x))
-    ate_norecuit = float(aligned_rmse(pos_ctl, gt_pos_b))
+    ate_norecruit = float(aligned_rmse(pos_ctl, gt_pos_b))
     if not smoke:
         assert ate_big < 0.25, f"churned ATE bound violated: {ate_big}"
-        assert ate_big < ate_norecuit, (
-            f"recruitment stopped helping: {ate_big} vs {ate_norecuit}")
+        assert ate_big < ate_norecruit, (
+            f"recruitment stopped helping: {ate_big} vs {ate_norecruit}")
 
     # ---- unmitigated-f32 control (VERDICT r3 item 4): the SAME loop with
     # the conditioning mitigations off, run far past the mitigated
@@ -653,7 +653,7 @@ def main() -> None:
         "imageseq_recruited_total": recruited_total,
         "imageseq_active_med": active_med,
         "imageseq_gen_max": gen_max,
-        "imageseq_ate_norecuit_k768": round(ate_norecuit, 6),
+        "imageseq_ate_norecruit_k768": round(ate_norecruit, 6),
         "sharded_pallas_matched_absdiff": sharded_matched_absdiff,
         "sharded_pallas_pos_maxdiff": round(sharded_pos_maxdiff, 8),
         "imageseq_hostloop_fps": round(hostloop_fps, 2),

@@ -371,11 +371,18 @@ def run_at_scale(args: argparse.Namespace) -> dict:
     # longer runs — the per-run profile printed below is the evidence.
     fps_e2e = (n_frames - 2) / (t_integrate + ba_time)
     ba_steady = 0.0
+    profiled = 0.0
     for nm in ("window_ba", "global_ba"):
         pr = mvf.profile.get(nm, {}).get("per_run")
         if pr:
             per = sorted(sum(t[:3]) for t in pr)
             ba_steady += per[len(per) // 2] * len(pr)
+            profiled += sum(per)
+    # FAILED BA runs never reach per_run (the factorizer returns before
+    # profiling when the LM rejects every step) but their wall-clock is in
+    # ba_time — carry the unprofiled remainder at face value so the steady
+    # key never overstates throughput on runs with failures
+    ba_steady += max(ba_time - profiled, 0.0)
     fps_e2e_steady = (n_frames - 2) / (t_integrate + ba_steady)
     print(f"integration: {n_frames - 2} frames in {t_integrate:.1f}s = "
           f"{fps:.1f} frames/s (windowed BA time {ba_time:.1f}s, "

@@ -79,23 +79,13 @@ def dense_obs_to_tracks(obs, obs_mask):
 
 
 def from_dense(p) -> BAProblemSparse:
-    """Convert a dense BAProblem (host-side; for tests/parity)."""
-    import numpy as np
-
-    obs_mask = np.asarray(p.obs_mask)
-    L = int(obs_mask.sum(axis=1).max())
-    Np, F = obs_mask.shape
-    obs = np.zeros((Np, L, 2))
-    fidx = np.zeros((Np, L), np.int32)
-    mask = np.zeros((Np, L), bool)
-    for i in range(Np):
-        js = np.nonzero(obs_mask[i])[0]
-        obs[i, :len(js)] = np.asarray(p.obs)[i, js]
-        fidx[i, :len(js)] = js
-        mask[i, :len(js)] = True
+    """Convert a dense BAProblem (host-side; for tests/parity) — a thin
+    wrapper over the vectorized ``dense_obs_to_tracks`` (same layout the
+    original per-row loop produced)."""
+    obs_s, fidx, mask = dense_obs_to_tracks(p.obs, p.obs_mask)
     return BAProblemSparse(
         points=p.points, cfw_R=p.cfw_R, cfw_t=p.cfw_t, K=p.K,
-        obs=jnp.asarray(obs, p.points.dtype), frame_idx=jnp.asarray(fidx),
+        obs=jnp.asarray(obs_s, p.points.dtype), frame_idx=jnp.asarray(fidx),
         obs_mask=jnp.asarray(mask), f0=p.f0)
 
 

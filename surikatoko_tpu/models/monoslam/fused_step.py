@@ -303,6 +303,74 @@ def assign_free_slots(free_mask: jnp.ndarray, new_valid: jnp.ndarray
     return jnp.where(valid, slots_raw, -1), valid
 
 
+def recruit_rows(params: MonoSlamParams, cam_pq: jnp.ndarray,
+                 rows7: jnp.ndarray, P77: jnp.ndarray,
+                 free_mask: jnp.ndarray, new_pix: jnp.ndarray,
+                 new_valid: jnp.ndarray, rho0, F: jnp.ndarray):
+    """Shared recruit linearization + row assembly (A.58 + A.67-A.79,
+    landmarks.py): batched new-landmark states and their predict-transformed
+    covariance rows, with candidate-candidate couplings placed and slots
+    assigned in first-free order. Used by BOTH the single-chip fused recruit
+    congruence and the landmark-sharded one
+    (parallel/sharded_ekf._local_fused_kernel) — the replicated math is
+    identical there; only the scatters differ.
+
+    ``rows7`` [7,D] = top rows of the post-health/renorm posterior;
+    ``P77`` its symmetrized [7,7] corner; ``cam_pq`` the post-renorm camera
+    7-vector; ``F`` the kinematic transition Jacobian. Returns
+    (y_m [M,6], Rt [6M,D] predict-transformed recruited rows,
+    slots [M], valid [M], idx [6M], idx_safe [6M], v6 [6M])."""
+    from surikatoko_tpu.models.monoslam import landmarks as lm_mod
+
+    dtype = rows7.dtype
+    D = rows7.shape[1]
+    M = new_pix.shape[0]
+    if rho0 is None:
+        rho0 = params.sal_pnt_init_inv_dist.astype(dtype)
+    else:
+        rho0 = rho0.astype(dtype)
+    rho0_m = jnp.broadcast_to(jnp.atleast_1d(rho0), (M,))  # scalar or [M]
+    g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
+
+    def one(pix, r0):
+        y = g_rho(cam_pq, pix, r0)
+        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, r0)
+        return y, Jc, Jp, Jr
+
+    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(
+        new_pix, rho0_m)                     # [M,6],[M,6,7],[M,6,2],[M,6]
+    r_var = params.measurm_noise_var.astype(dtype)
+    rho_var = params.sal_pnt_init_inv_dist_std.astype(dtype) ** 2
+    JcP77 = jnp.einsum("mij,jk->mik", Jc_m, P77)        # [M,6,7]
+    auto_m = (jnp.einsum("mik,mjk->mij", JcP77, Jc_m)
+              + r_var * jnp.einsum("mik,mjk->mij", Jp_m, Jp_m)
+              + rho_var * jnp.einsum("mi,mj->mij", Jr_m, Jr_m))
+    cross_m = jnp.einsum("mij,jd->mid", Jc_m, rows7)    # [M,6,D]
+    # candidate-candidate couplings (what sequential adds see of each other)
+    newnew = jnp.einsum("mik,njk->minj", JcP77, Jc_m)   # [M,6,M,6]
+    eye_m = jnp.eye(M, dtype=bool)
+    blocks = jnp.where(eye_m[:, None, :, None],
+                       auto_m[:, :, None, :], newnew)
+
+    # --- slot assignment (first-free order, add_landmarks parity) ---
+    slots, valid = assign_free_slots(free_mask, new_valid)
+    v6 = jnp.repeat(valid, 6)
+    offs = _N + jnp.where(valid, slots, 0) * 6
+    idx = (offs[:, None] + jnp.arange(6)[None, :]).reshape(-1)   # [6M]
+    idx_safe = jnp.where(v6, idx, D)        # out-of-bounds -> scatter drops
+
+    # --- assemble recruited rows, predict-transformed ---
+    Rfull = cross_m.reshape(6 * M, D)
+    vvT = valid[:, None, None, None] & valid[None, None, :, None]
+    colvals = jnp.where(vvT, blocks, 0.0).reshape(6 * M, 6 * M)
+    colvals = 0.5 * (colvals + colvals.T)       # bitwise P == P^T invariant
+    Rfull = Rfull.at[:, idx_safe].set(colvals, mode="drop")
+    # predict: Delta F_emb^T — camera columns right-multiply F^T (landmark
+    # rows themselves are identity under predict)
+    Rt = Rfull.at[:, :_N].set(Rfull[:, :_N] @ F.T)
+    return y_m, Rt, slots, valid, idx, idx_safe, v6
+
+
 def fused_update_health_recruit_predict(
     params: MonoSlamParams, x: jnp.ndarray, P: jnp.ndarray,
     obs: jnp.ndarray, obs_mask: jnp.ndarray,
@@ -346,10 +414,6 @@ def fused_update_health_recruit_predict(
     spatially-local tracked inverse depth — scene-adaptive priors the caller
     computes from the live filter state).
     """
-    from surikatoko_tpu.models.monoslam import landmarks as lm_mod
-
-    dtype = x.dtype
-    D = x.shape[0]
     Kcap = obs_mask.shape[0]
     M = new_pix.shape[0]
 
@@ -370,50 +434,9 @@ def fused_update_health_recruit_predict(
     P77 = 0.5 * (rows7[:, :7] + rows7[:, :7].T)
     cam_pq = epi.x2[:7]                                 # post-renorm camera
 
-    # --- batched new-landmark linearization (A.58 + A.67-A.79, landmarks.py)
-    if rho0 is None:
-        rho0 = params.sal_pnt_init_inv_dist.astype(dtype)
-    else:
-        rho0 = rho0.astype(dtype)
-    rho0_m = jnp.broadcast_to(jnp.atleast_1d(rho0), (M,))  # scalar or [M]
-    g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
-
-    def one(pix, r0):
-        y = g_rho(cam_pq, pix, r0)
-        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, r0)
-        return y, Jc, Jp, Jr
-
-    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(
-        new_pix, rho0_m)                     # [M,6],[M,6,7],[M,6,2],[M,6]
-    r_var = params.measurm_noise_var.astype(dtype)
-    rho_var = params.sal_pnt_init_inv_dist_std.astype(dtype) ** 2
-    JcP77 = jnp.einsum("mij,jk->mik", Jc_m, P77)        # [M,6,7]
-    auto_m = (jnp.einsum("mik,mjk->mij", JcP77, Jc_m)
-              + r_var * jnp.einsum("mik,mjk->mij", Jp_m, Jp_m)
-              + rho_var * jnp.einsum("mi,mj->mij", Jr_m, Jr_m))
-    cross_m = jnp.einsum("mij,jd->mid", Jc_m, rows7)    # [M,6,D]
-    # candidate-candidate couplings (what sequential adds see of each other)
-    newnew = jnp.einsum("mik,njk->minj", JcP77, Jc_m)   # [M,6,M,6]
-    eye_m = jnp.eye(M, dtype=bool)
-    blocks = jnp.where(eye_m[:, None, :, None],
-                       auto_m[:, :, None, :], newnew)
-
-    # --- slot assignment (first-free order, add_landmarks parity) ---
-    slots, valid = assign_free_slots(free_mask, new_valid)
-    v6 = jnp.repeat(valid, 6)
-    offs = _N + jnp.where(valid, slots, 0) * 6
-    idx = (offs[:, None] + jnp.arange(6)[None, :]).reshape(-1)   # [6M]
-    idx_safe = jnp.where(v6, idx, D)        # out-of-bounds -> scatter drops
-
-    # --- assemble recruited rows, predict-transformed ---
-    Rfull = cross_m.reshape(6 * M, D)
-    vvT = valid[:, None, None, None] & valid[None, None, :, None]
-    colvals = jnp.where(vvT, blocks, 0.0).reshape(6 * M, 6 * M)
-    colvals = 0.5 * (colvals + colvals.T)       # bitwise P == P^T invariant
-    Rfull = Rfull.at[:, idx_safe].set(colvals, mode="drop")
-    # predict: Delta F_emb^T — camera columns right-multiply F^T (landmark
-    # rows themselves are identity under predict)
-    Rt = Rfull.at[:, :_N].set(Rfull[:, :_N] @ epi.F.T)
+    y_m, Rt, slots, valid, idx, idx_safe, v6 = recruit_rows(
+        params, cam_pq, rows7, P77, free_mask, new_pix, new_valid, rho0,
+        epi.F)
 
     # --- base fused covariance, then scatter the recruited rows/cols ---
     x_next, P_next, resid, x1 = _fused_covariance_predict(

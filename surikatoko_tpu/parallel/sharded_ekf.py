@@ -227,8 +227,7 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
         return x_next, P_cam_new, Pl_new.reshape(L, 6, D), resid_loc, x1
 
     # ---- recruit splice (replicated math, distributed scatter) ----
-    from surikatoko_tpu.models.monoslam import landmarks as lm_mod
-    from surikatoko_tpu.models.monoslam.fused_step import assign_free_slots
+    from surikatoko_tpu.models.monoslam import fused_step as fused_step_mod
 
     new_pix, new_valid, free_loc, rho0_in = recruit
     M = new_pix.shape[0]
@@ -242,44 +241,15 @@ def _local_fused_kernel(params: MonoSlamParams, K: int,
     P77 = 0.5 * (rows7[:, :7] + rows7[:, :7].T)
     cam_pq = epi.x2[:7]
 
-    rho0 = (params.sal_pnt_init_inv_dist.astype(dtype) if rho0_in is None
-            else rho0_in.astype(dtype))
-    rho0_m = jnp.broadcast_to(jnp.atleast_1d(rho0), (M,))  # scalar or [M]
-    g_rho = lambda c, p, r: lm_mod.new_landmark_state(params, c, p, r)
-
-    def one(pix, r0):
-        y = g_rho(cam_pq, pix, r0)
-        Jc, Jp, Jr = jax.jacfwd(g_rho, argnums=(0, 1, 2))(cam_pq, pix, r0)
-        return y, Jc, Jp, Jr
-
-    y_m, Jc_m, Jp_m, Jr_m = jax.vmap(one)(new_pix, rho0_m)
-    rho_var = params.sal_pnt_init_inv_dist_std.astype(dtype) ** 2
-    JcP77 = jnp.einsum("mij,jk->mik", Jc_m, P77)
-    auto_m = (jnp.einsum("mik,mjk->mij", JcP77, Jc_m)
-              + r_var * jnp.einsum("mik,mjk->mij", Jp_m, Jp_m)
-              + rho_var * jnp.einsum("mi,mj->mij", Jr_m, Jr_m))
-    cross_m = jnp.einsum("mij,jd->mid", Jc_m, rows7)             # [M,6,D]
-    newnew = jnp.einsum("mik,njk->minj", JcP77, Jc_m)
-    eye_m = jnp.eye(M, dtype=bool)
-    blocks = jnp.where(eye_m[:, None, :, None],
-                       auto_m[:, :, None, :], newnew)
-
     # globally-consistent first-free slot assignment: slots are laid out
     # device-major, so concatenating the per-device free masks preserves
-    # the single-device first-free order exactly
+    # the single-device first-free order exactly. The linearization + row
+    # assembly itself is the SHARED single-chip math (replicated inputs ->
+    # replicated outputs on every device).
     free_all = jax.lax.all_gather(free_loc, "lm", tiled=True)    # [K]
-    slots, valid = assign_free_slots(free_all, new_valid)
-    v6 = jnp.repeat(valid, 6)
-    offs = _N + jnp.where(valid, slots, 0) * 6
-    idx = (offs[:, None] + jnp.arange(6)[None, :]).reshape(-1)   # [6M]
-    idx_safe = jnp.where(v6, idx, D)
-
-    Rfull = cross_m.reshape(6 * M, D)
-    vvT = valid[:, None, None, None] & valid[None, None, :, None]
-    colvals = jnp.where(vvT, blocks, 0.0).reshape(6 * M, 6 * M)
-    colvals = 0.5 * (colvals + colvals.T)
-    Rfull = Rfull.at[:, idx_safe].set(colvals, mode="drop")
-    Rt = Rfull.at[:, :_N].set(Rfull[:, :_N] @ epi.F.T)           # predicted
+    y_m, Rt, slots, valid, idx, idx_safe, v6 = fused_step_mod.recruit_rows(
+        params, cam_pq, rows7, P77, free_all, new_pix, new_valid, rho0_in,
+        epi.F)
 
     # scatter — same row-then-column order as the single-chip fused recruit
     x_next = x_next.at[idx_safe].set(y_m.reshape(6 * M), mode="drop")

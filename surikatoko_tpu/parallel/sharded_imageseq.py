@@ -84,8 +84,10 @@ def make_sharded_imageseq_runner(params: MonoSlamParams, capacity: int,
     lm_unobserved [K], sc: ImageSeqDeviceScenario, frames [T]) ->
     (x, P, lm_active, lm_unobserved, (err [T], n_matched [T], cam_pos [T,3]))
     running the full imageseq closed loop landmark-sharded over ``mesh``'s
-    "lm" axis. Scenario gt_points must have exactly ``capacity`` rows
-    (slot k <-> splat k, as in device_runner.init_imageseq).
+    "lm" axis. Scenario gt_points may hold MORE splats than the filter has
+    slots (the churn worlds do: e.g. 1024 points at K=768); the only hard
+    requirement is n_points % n_devices == 0 for the P("lm") shard of the
+    distributed render.
 
     ``recruit=True`` closes the landmark LIFECYCLE multi-chip — the sharded
     twin of device_runner.make_imageseq_scan_runner(recruit=True) (reference

@@ -118,6 +118,9 @@ class ImageTemplCornersMatcher:
                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
         K = self.tracker.capacity
         if self.suppress_observations or self._image is None:
+            # no search ran: stale telemetry must not be attributed to
+            # this frame by 'if matcher.last_gate_stats' consumers
+            self.last_gate_stats = {}
             return jnp.zeros((K, 2)), jnp.zeros(K, bool)
 
         centers, cov2 = self.tracker.predicted_pixel_uncertainty(state)
